@@ -1,0 +1,231 @@
+"""Typed configuration for the TPU-native FMCW radar ego-motion framework.
+
+One source of truth replacing the six duplicated ``radar_params`` dicts in the
+reference (``src/radar_signal/dechirp.py:371-378``,
+``src/angle_estimation/angle_estimation.py:396-400``,
+``src/velocity_solver/velocity_solver.py:446-450``,
+``scripts/run_ego_motion_pipeline.py:80-92``,
+``results/ground_truth_comparison/radarscenes_complete_analysis.py:47-56``,
+``scripts/simulate_raw.py:36-44``).
+
+All configs are frozen dataclasses of Python scalars so they are hashable and
+can be passed as static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+C_LIGHT = 299792458.0
+# The reference uses c = 3e8 everywhere (e.g. simulate_raw.py:70); we keep
+# that value by default so derived quantities (range resolution 0.15 m,
+# wavelength 3.896 mm) match the reference's documented numbers exactly.
+C_REF = 3.0e8
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """FMCW radar waveform + array parameters.
+
+    Canonical defaults follow the reference operating point
+    (``simulate_raw.py:36-44``): 77 GHz carrier, 1 GHz bandwidth, 40 us chirp,
+    100 us PRI, 64 chirps, 8-element half-wavelength ULA, 10 MHz ADC.
+    """
+
+    fc: float = 77.0e9                 # carrier frequency [Hz]
+    bandwidth: float = 1.0e9           # chirp bandwidth [Hz]
+    chirp_duration: float = 40.0e-6    # chirp duration [s]
+    pri: float = 100.0e-6              # pulse repetition interval [s]
+    num_chirps: int = 64               # chirps per frame (slow time)
+    num_antennas: int = 8              # ULA elements
+    sampling_rate: float = 10.0e6      # ADC rate [Hz]
+    noise_power: float = 0.01          # AWGN power added during synthesis
+    antenna_spacing: Optional[float] = None  # None -> lambda/2
+    c: float = C_REF                   # propagation speed [m/s]
+
+    # ---- derived quantities (all Python floats; safe under jit tracing) ----
+    @property
+    def lambda_c(self) -> float:
+        """Carrier wavelength [m] (simulate_raw.py:71)."""
+        return self.c / self.fc
+
+    @property
+    def spacing(self) -> float:
+        """Element spacing [m]; default half wavelength (simulate_raw.py:72)."""
+        return self.antenna_spacing if self.antenna_spacing is not None else self.lambda_c / 2.0
+
+    @property
+    def samples_per_chirp(self) -> int:
+        """Fast-time samples per chirp (simulate_raw.py:75)."""
+        return int(self.chirp_duration * self.sampling_rate)
+
+    @property
+    def chirp_rate(self) -> float:
+        """Chirp slope k = B / T [Hz/s] (simulate_raw.py:76)."""
+        return self.bandwidth / self.chirp_duration
+
+    @property
+    def range_resolution(self) -> float:
+        """c / (2B) [m] (dechirp.py:67)."""
+        return self.c / (2.0 * self.bandwidth)
+
+    @property
+    def velocity_resolution(self) -> float:
+        """lambda / (2 N_c PRI) [m/s] (dechirp.py:68)."""
+        return self.lambda_c / (2.0 * self.num_chirps * self.pri)
+
+    @property
+    def prf(self) -> float:
+        """Pulse repetition frequency = 1/PRI [Hz].
+
+        Note: the reference labels its Doppler axis with the ADC rate instead
+        (dechirp.py:242, a unit bug); we use the physically correct PRF.
+        """
+        return 1.0 / self.pri
+
+    @property
+    def max_unambiguous_range(self) -> float:
+        """Range spanned by the fast-time FFT [m]."""
+        return self.range_resolution * self.samples_per_chirp
+
+    @property
+    def max_unambiguous_velocity(self) -> float:
+        """+/- lambda / (4 PRI) [m/s]."""
+        return self.lambda_c / (4.0 * self.pri)
+
+    def validate(self) -> "RadarConfig":
+        assert self.fc > 0 and self.bandwidth > 0
+        assert self.samples_per_chirp > 0, "chirp_duration * sampling_rate must be >= 1"
+        assert self.num_chirps >= 1 and self.num_antennas >= 2
+        assert self.pri >= self.chirp_duration, "PRI must cover the chirp"
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionConfig:
+    """Range-Doppler peak detection (static-shape CFAR / local-max top-K).
+
+    Replaces the reference's dynamic peak lists
+    (``dechirp.py:244-271``: 3x3 maximum_filter local maxima above a dB
+    threshold, range-gated) with a fixed top-K detection set + validity mask.
+    """
+
+    threshold_db: float = -25.0        # complete-analysis operating point (:171)
+    min_range: float = 1.0             # dechirp.py:218
+    max_range: float = 200.0           # dechirp.py:219
+    max_detections: int = 64           # static K (>= reference max_targets=50)
+    neighborhood: int = 3              # local-max window (3x3, dechirp.py:251)
+    guard_cells: int = 0               # CA-CFAR guard band (0 = plain threshold)
+    cfar_train_cells: int = 0          # >0 enables cell-averaging CFAR offset
+    cfar_offset_db: float = 12.0       # CFAR threshold over local noise estimate
+
+
+@dataclasses.dataclass(frozen=True)
+class AoAConfig:
+    """Angle-of-arrival estimation parameters.
+
+    Mirrors ``AngleEstimator`` / ``RobustAngleEstimator`` settings
+    (angle_estimation.py:30-60, robust_angle_estimation.py:30-86).
+    """
+
+    search_min_deg: float = -90.0
+    search_max_deg: float = 90.0
+    search_resolution_deg: float = 2.0   # complete-analysis point (:72); 0.5 in basic
+    method: str = "beamforming"          # beamforming | music | esprit
+    num_sources: int = 1
+    # robust estimator:
+    temporal_window: int = 3             # robust_angle_estimation.py:73 (ref default 5)
+    confidence_threshold: float = 0.6    # complete-analysis :74
+    smoothing_factor: float = 0.7        # robust_angle_estimation.py:46
+    max_targets: int = 50                # top-K kept after power filter (:75)
+    power_filter_db: float = -25.0       # robust_angle_estimation.py:363
+    track_capacity: int = 256            # static slots for temporal smoother state
+
+    @property
+    def num_grid_points(self) -> int:
+        return int(round((self.search_max_deg - self.search_min_deg)
+                         / self.search_resolution_deg)) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class VelocityConfig:
+    """6-DoF velocity solve parameters.
+
+    The reference's two-step differential-evolution search
+    (velocity_solver.py:178-269, advanced_velocity_optimization.py:260-490)
+    collapses into a closed-form regularized least-squares because the Doppler
+    phase model phi_i = (4 pi dt / lambda) d_i . (v + w x r_i) is linear in
+    (v, w) (velocity_solver.py:102-111).  ``mode`` selects the observable:
+
+    - "doppler": per-target Doppler-bin radial velocities (coarse, unambiguous)
+    - "phase":   temporal phase differences, unwrapped around the initial
+                 guess, Gauss-Newton iterated (reference-equivalent observable,
+                 velocity_solver_improved.py:150)
+    - "fused":   doppler solve seeds the phase refinement (default)
+    """
+
+    mode: str = "fused"
+    max_velocity: float = 30.0           # complete-analysis :82
+    max_angular_velocity: float = 5.0    # complete-analysis :83
+    regularization_weight: float = 0.01  # velocity_solver_improved.py:261-263
+    z_velocity_weight: float = 10.0      # advanced_velocity_optimization.py:219
+    temporal_weight: float = 0.1         # advanced_velocity_optimization.py:209
+    huber_delta: float = 1.0             # IRLS robust loss scale [rad]
+    gn_iterations: int = 8               # Gauss-Newton / IRLS iterations
+    two_step: bool = True                # v-only solve then full 6-DoF (:178)
+    association_gate: float = 5.0        # cartesian gate [m] (improved :45)
+    min_targets: int = 3                 # velocity_solver.py:202
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseConfig:
+    """Pose integration parameters (pose_integration.py:23-66)."""
+
+    integration_method: str = "trapezoidal"  # trapezoidal | euler
+    smoothing: bool = False
+    smoothing_window: int = 5
+    planar: bool = False                     # True -> x,y,yaw Euler update
+                                             # (complete-analysis :208-210)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline composition."""
+
+    radar: RadarConfig = dataclasses.field(default_factory=RadarConfig)
+    detection: DetectionConfig = dataclasses.field(default_factory=DetectionConfig)
+    aoa: AoAConfig = dataclasses.field(default_factory=AoAConfig)
+    velocity: VelocityConfig = dataclasses.field(default_factory=VelocityConfig)
+    pose: PoseConfig = dataclasses.field(default_factory=PoseConfig)
+    frame_duration_ms: float = 100.0         # loader frame window (loader :141)
+    max_scatterers: int = 512                # static pad for scatterer batches
+    chirp_subset: Optional[Tuple[int, int]] = None  # dechirp.py:183-187
+
+    @property
+    def frame_dt(self) -> float:
+        return self.frame_duration_ms * 1e-3
+
+
+def complete_analysis_config() -> PipelineConfig:
+    """The reference's real end-to-end operating point
+    (radarscenes_complete_analysis.py:47-87): 32 chirps, 2 deg grid,
+    confidence 0.6, top-50 targets."""
+    return PipelineConfig(
+        radar=RadarConfig(num_chirps=32),
+        aoa=AoAConfig(search_resolution_deg=2.0, confidence_threshold=0.6,
+                      max_targets=50, temporal_window=3),
+        velocity=VelocityConfig(max_velocity=30.0, max_angular_velocity=5.0,
+                                regularization_weight=0.01),
+        pose=PoseConfig(planar=True),
+    )
+
+
+def default_config() -> PipelineConfig:
+    """Paper-faithful default (64 chirps, 0.5 deg grid) as in
+    run_ego_motion_pipeline.py:80-92."""
+    return PipelineConfig(
+        radar=RadarConfig(num_chirps=64),
+        aoa=AoAConfig(search_resolution_deg=0.5),
+    )

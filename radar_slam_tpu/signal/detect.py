@@ -1,0 +1,132 @@
+"""Static-shape range-Doppler peak detection (local-max / CA-CFAR + top-K).
+
+Replaces the reference's dynamic peak extraction
+(``src/radar_signal/dechirp.py:215-271``: per-antenna power dB, 3x3
+``maximum_filter`` local maxima above a dB threshold, range gate 1-200 m,
+variable-length dict list) with a fixed top-K detection set + validity mask so
+the stage jits and batches.
+
+Differences from the reference (deliberate, SURVEY.md section 7 decision 2):
+- power is integrated non-coherently across antennas (mean |rds|^2) instead of
+  detecting per antenna; the reference emits up to A duplicate peaks per
+  physical target (one per antenna) which all collapse to the same
+  (range_bin, doppler_bin) spatial signature downstream.
+- an optional cell-averaging CFAR offset over a local training band replaces
+  the fixed global threshold when ``cfar_train_cells > 0``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.core.config import DetectionConfig, RadarConfig
+from radar_slam_tpu.core.types import Detections
+from radar_slam_tpu.signal.rds import (doppler_axis_hz,
+                                       doppler_to_radial_velocity,
+                                       range_axis_m)
+
+
+def _maxpool2d_same(x: jax.Array, size: int) -> jax.Array:
+    """Max filter with SAME padding (scipy.ndimage.maximum_filter parity)."""
+    pad = size // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(size, size),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)))
+
+
+def _box_mean2d(x: jax.Array, size: int) -> jax.Array:
+    """Box mean with SAME (zero-extended) padding."""
+    pad = size // 2
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(size, size),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)))
+    ones = jnp.ones_like(x)
+    n = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add,
+        window_dimensions=(size, size),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)))
+    return s / n
+
+
+def power_spectrum_db(rds: jax.Array) -> jax.Array:
+    """Non-coherent power map [R, D] in dB from RDS [A, R, D]
+    (dechirp.py:234-238, integrated over antennas)."""
+    p = jnp.mean(jnp.abs(rds) ** 2, axis=0)
+    return 10.0 * jnp.log10(p + 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "det"))
+def detect_peaks(rds: jax.Array, cfg: RadarConfig,
+                 det: DetectionConfig) -> Detections:
+    """Extract the top-K range-Doppler peaks from an RDS cube [A, R, D].
+
+    Returns a masked static-shape :class:`Detections` (K = det.max_detections),
+    sorted by descending power.
+    """
+    K = det.max_detections
+    power_db = power_spectrum_db(rds)                       # [R, D]
+    R, D = power_db.shape
+
+    # Local maxima (3x3 by default; dechirp.py:250-254).
+    is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
+
+    # Detection threshold: fixed dB level, optionally CFAR-relative.
+    if det.cfar_train_cells > 0:
+        train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
+        guard = 2 * det.guard_cells + 1
+        p_lin = 10.0 ** (power_db / 10.0)
+        noise = _box_mean2d(p_lin, train)
+        if det.guard_cells > 0:
+            # Exclude the guard+cell region from the training average.
+            g = _box_mean2d(p_lin, guard)
+            n_train = train * train
+            n_guard = guard * guard
+            noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
+        noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
+        thresh = jnp.maximum(noise_db + det.cfar_offset_db, det.threshold_db)
+    else:
+        thresh = jnp.float32(det.threshold_db)
+    above = power_db > thresh
+
+    # Range gate (dechirp.py:263).
+    ranges = range_axis_m(cfg, R)                           # [R]
+    gate = (ranges >= det.min_range) & (ranges <= det.max_range)
+    mask = is_peak & above & gate[:, None]
+
+    # Top-K by power over the masked map (static shape).
+    score = jnp.where(mask, power_db, -jnp.inf).reshape(-1)
+    top_vals, top_idx = jax.lax.top_k(score, K)
+    valid = jnp.isfinite(top_vals)
+    r_bin = (top_idx // D).astype(jnp.int32)
+    d_bin = (top_idx % D).astype(jnp.int32)
+
+    dopplers = doppler_axis_hz(cfg, D)                      # [D]
+    doppler_hz = dopplers[d_bin]
+    return Detections(
+        range_bin=jnp.where(valid, r_bin, 0),
+        doppler_bin=jnp.where(valid, d_bin, 0),
+        range_m=jnp.where(valid, ranges[r_bin], 0.0),
+        doppler_hz=jnp.where(valid, doppler_hz, 0.0),
+        vr_mps=jnp.where(valid, doppler_to_radial_velocity(doppler_hz, cfg), 0.0),
+        power_db=jnp.where(valid, top_vals, -jnp.inf),
+        valid=valid,
+    )
+
+
+def extract_spatial_signatures(rds: jax.Array, detections: Detections) -> jax.Array:
+    """Unit-power spatial signatures [K, A] for each detection.
+
+    signature_k = rds[:, r_k, d_k] / ||.||  (angle_estimation.py:67-90)."""
+    sig = rds[:, detections.range_bin, detections.doppler_bin]       # [A, K]
+    sig = jnp.swapaxes(sig, 0, 1)                                    # [K, A]
+    power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
+    sig = jnp.where(power > 0, sig / jnp.sqrt(jnp.maximum(power, 1e-30)), sig)
+    return sig.astype(jnp.complex64)

@@ -1,0 +1,118 @@
+"""Range-Doppler Spectrum generation: fused dechirp + window + DC + 2-D FFT.
+
+TPU-first re-design of ``SignalPreprocessor.generate_range_doppler_spectrum``
+(``src/radar_signal/dechirp.py:168-213``).  The reference loops antenna x
+chirp in Python, applying dechirp, window and DC removal per chirp, then runs
+``np.fft.fft2`` + double fftshift.  Here the whole chain is one traced XLA
+program over the [A, C, S] cube:
+
+- dechirp (multiply by conj reference chirp, dechirp.py:139) and the window
+  are folded into a single precomputed complex vector;
+- DC removal is a mean-subtract along fast time (dechirp.py:120);
+- the range transform uses the e^{+j} DFT kernel (``S * ifft``) so that a beat
+  tone at -k tau (the rx * conj(tx) convention) lands at bin k tau / delta_f,
+  i.e. range = bin * c/(2B) directly -- no fftshift of the range axis.  The
+  reference fftshifts BOTH axes (dechirp.py:211) and then labels range bins
+  with linspace(0, ...) (dechirp.py:241), which mislocates ranges; see
+  SURVEY.md section 2 row 3.
+- the Doppler transform is a standard FFT over chirps + fftshift, with the
+  axis labelled by the PRF (the reference labels it with the ADC rate,
+  dechirp.py:242).
+
+Output layout matches the reference: [num_antennas, range_bins, doppler_bins].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.core.config import RadarConfig
+from radar_slam_tpu.ops.windows import get_window
+from radar_slam_tpu.signal.synth import reference_chirp
+
+
+def range_axis_m(cfg: RadarConfig, range_bins: Optional[int] = None) -> jax.Array:
+    """Range value of each bin [m]: bin * c/(2B) * (fs T / S)."""
+    n = range_bins or cfg.samples_per_chirp
+    bin_hz = cfg.sampling_rate / n
+    metres_per_hz = cfg.c / (2.0 * cfg.chirp_rate)
+    return jnp.arange(n, dtype=jnp.float32) * (bin_hz * metres_per_hz)
+
+
+def doppler_axis_hz(cfg: RadarConfig, doppler_bins: Optional[int] = None) -> jax.Array:
+    """Doppler frequency of each (fftshifted) bin [Hz], spanning +/- PRF/2."""
+    n = doppler_bins or cfg.num_chirps
+    return jnp.fft.fftshift(jnp.fft.fftfreq(n, d=cfg.pri)).astype(jnp.float32)
+
+
+def doppler_to_radial_velocity(doppler_hz: jax.Array, cfg: RadarConfig) -> jax.Array:
+    """Radial velocity (range rate) implied by a Doppler frequency.
+
+    With the synthesis convention phase = -4 pi R(t) / lambda, a range rate vr
+    produces f_d = -2 vr / lambda, so vr = -f_d lambda / 2."""
+    return -doppler_hz * jnp.float32(cfg.lambda_c) / 2.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "dc_removal", "input_domain",
+                     "chirp_subset", "doppler_window"))
+def range_doppler_spectrum(signals: jax.Array,
+                           cfg: RadarConfig,
+                           window: str = "hann",
+                           dc_removal: bool = True,
+                           input_domain: str = "baseband",
+                           chirp_subset: Optional[Tuple[int, int]] = None,
+                           doppler_window: Optional[str] = None) -> jax.Array:
+    """Compute the RDS cube.
+
+    Args:
+        signals: complex64 [A, C, S] (or [..., A, C, S]) frame signals.
+        cfg: radar config (static).
+        window: fast-time window ('hann'|'hamming'|'blackman'|'rect'),
+            dechirp.py:99-106.
+        dc_removal: subtract per-chirp fast-time mean (dechirp.py:120).
+        input_domain: "baseband" if signals are already dechirped (the
+            synthesizer default), "raw" to apply conj(reference chirp) first.
+            NOTE: the reference simulator emits dechirped signals yet its
+            preprocessor dechirps again (dechirp.py:202 applied to
+            simulate_raw.py output) -- a double-mix quirk we do not reproduce.
+        chirp_subset: optional (start, end) static slow-time slice
+            (dechirp.py:183-187).
+        doppler_window: optional slow-time window (reference has none).
+
+    Returns:
+        complex64 [..., A, range_bins, doppler_bins]; Doppler axis fftshifted,
+        range axis NOT shifted (bin r -> range r * c/(2B)).
+    """
+    if chirp_subset is not None:
+        start, end = chirp_subset
+        signals = signals[..., start:end, :]
+
+    S = signals.shape[-1]
+    w = get_window(window, S).astype(jnp.float32)
+    if input_domain == "raw":
+        mix = (jnp.conj(reference_chirp(cfg)) * w).astype(jnp.complex64)
+    elif input_domain == "baseband":
+        mix = w.astype(jnp.complex64)
+    else:
+        raise ValueError(f"Unknown input domain: {input_domain}")
+
+    x = signals * mix                                   # fused dechirp+window
+    if dc_removal:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
+
+    if doppler_window is not None:
+        wd = get_window(doppler_window, x.shape[-2]).astype(jnp.float32)
+        x = x * wd[..., :, None].astype(jnp.complex64)
+
+    # Range transform: e^{+j} kernel => S * ifft along fast time.
+    rng = jnp.fft.ifft(x, axis=-1) * jnp.complex64(S)   # [..., A, C, S_r]
+    # Doppler transform over chirps + fftshift.
+    rds = jnp.fft.fftshift(jnp.fft.fft(rng, axis=-2), axes=-2)
+    # Layout [..., A, range, doppler] (dechirp.py:193 layout).
+    return jnp.swapaxes(rds, -1, -2).astype(jnp.complex64)

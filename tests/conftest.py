@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding tests run on the host platform with
+``--xla_force_host_platform_device_count=8`` (the standard JAX fake-backend
+trick; the reference has no distributed tests to model, SURVEY.md section 4).
+Must run before the first ``import jax``.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU backend and forces
+# JAX_PLATFORMS=axon; override after import so tests run on the virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
