@@ -132,8 +132,8 @@ def music_spectrum(signatures: jax.Array, steering: jax.Array,
     noise_mask = (col >= m[:, None]).astype(signatures.dtype) # [K, A]
     En = vecs * noise_mask[:, None, :]                        # zero signal cols
     # a^H P_n a = || En^H a ||^2 ; evaluate for the whole grid at once:
-    # proj[K, A(noise), G] = En^H [K, A, A] @ steering^T [A, G]
-    proj = jnp.einsum("kij,gj->kig", jnp.conj(En), steering)
+    # proj[k, j, g] = sum_i conj(En[k, i, j]) * steering[g, i]
+    proj = jnp.einsum("kij,gi->kjg", jnp.conj(En), steering)
     denom = jnp.sum(proj.real ** 2 + proj.imag ** 2, axis=1)  # [K, G]
     return jnp.where(denom > 1e-12, 1.0 / jnp.maximum(denom, 1e-12), 0.0)
 

@@ -1,0 +1,144 @@
+"""Temporal angle smoothing as a functional, static-shape track table.
+
+Re-design of ``RobustAngleEstimator.apply_temporal_smoothing``
+(``src/algorithms/robust_angle_estimation.py:274-330``): the reference keys
+per-target Python deques by the string id ``f"target_{r_bin}_{d_bin}"``
+(``:380``); here the state is a fixed-capacity slot table (a pytree usable
+inside ``jit`` / ``lax.scan``):
+
+- integer track keys  key = range_bin * n_doppler + doppler_bin;
+- per-slot ring buffers of the last W (angle, confidence) measurements;
+- slot allocation by eviction priority (free first, then oldest) computed
+  with one ``top_k`` -- no data-dependent control flow.
+
+The smoothing math matches the reference: confidence-weighted circular mean
+over the window (``:299-316``), blended with the previous raw angle by the
+smoothing factor (``:318-322``), confidence smoothed by the window mean
+(``:325``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.core.config import AoAConfig
+
+
+class SmootherState(NamedTuple):
+    keys: jax.Array     # [C] int32, -1 = free slot
+    angles: jax.Array   # [C, W] float32 ring buffer [deg]
+    confs: jax.Array    # [C, W] float32 ring buffer
+    count: jax.Array    # [C] int32 measurements ever written to the slot
+    age: jax.Array      # [C] int32 frames since last update
+
+
+def init_state(aoa: AoAConfig) -> SmootherState:
+    C, W = aoa.track_capacity, aoa.temporal_window
+    return SmootherState(
+        keys=jnp.full((C,), -1, jnp.int32),
+        angles=jnp.zeros((C, W), jnp.float32),
+        confs=jnp.zeros((C, W), jnp.float32),
+        count=jnp.zeros((C,), jnp.int32),
+        age=jnp.zeros((C,), jnp.int32),
+    )
+
+
+def _window_smooth(angles: jax.Array, confs: jax.Array, count: jax.Array,
+                   write_pos: jax.Array, smoothing_factor: float
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Smoothed (angle_deg, conf) per slot row from its ring buffer.
+
+    ``write_pos`` is the ring index of the newest entry."""
+    W = angles.shape[-1]
+    idx = jnp.arange(W)[None, :]
+    valid = idx < count[:, None]                          # [K, W]
+    weights = jnp.where(valid, confs, 0.0)
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)
+    n_valid = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
+    weights = jnp.where(wsum > 0, weights / jnp.maximum(wsum, 1e-30),
+                        valid / n_valid)
+
+    ang_rad = jnp.deg2rad(angles)
+    mean_cos = jnp.sum(weights * jnp.cos(ang_rad), axis=-1)
+    mean_sin = jnp.sum(weights * jnp.sin(ang_rad), axis=-1)
+    circ_deg = jnp.rad2deg(jnp.arctan2(mean_sin, mean_cos))
+
+    # Previous raw angle = entry at write_pos - 1 (robust_angle_estimation.py:320).
+    prev_pos = jnp.mod(write_pos - 1, W)
+    prev = jnp.take_along_axis(angles, prev_pos[:, None], axis=-1)[:, 0]
+    blended = smoothing_factor * circ_deg + (1.0 - smoothing_factor) * prev
+
+    conf = jnp.sum(jnp.where(valid, confs, 0.0), axis=-1) / n_valid[:, 0]
+
+    newest = jnp.take_along_axis(angles, write_pos[:, None], axis=-1)[:, 0]
+    newest_conf = jnp.take_along_axis(confs, write_pos[:, None], axis=-1)[:, 0]
+    single = count <= 1
+    return (jnp.where(single, newest, blended),
+            jnp.where(single, newest_conf, conf))
+
+
+def update(state: SmootherState, det_keys: jax.Array, angles_deg: jax.Array,
+           confidences: jax.Array, valid: jax.Array, aoa: AoAConfig
+           ) -> Tuple[SmootherState, jax.Array, jax.Array]:
+    """Ingest one frame's detections; return smoothed angles/confidences.
+
+    Args:
+        det_keys: [K] int32 track keys (r_bin * n_doppler + d_bin).
+        angles_deg, confidences, valid: [K] per-detection measurements.
+
+    Returns:
+        (new_state, smoothed_angles_deg [K], smoothed_confs [K]).
+    """
+    C = state.keys.shape[0]
+    W = state.angles.shape[1]
+    K = det_keys.shape[0]
+
+    # --- match detections to existing tracks -------------------------------
+    key_eq = (state.keys[None, :] == det_keys[:, None]) & (state.keys[None, :] >= 0)
+    matched = jnp.any(key_eq, axis=1) & valid                       # [K]
+    match_slot = jnp.argmax(key_eq, axis=1)                         # [K]
+
+    # --- allocate slots for new tracks -------------------------------------
+    # Eviction priority: free slots first, then stalest; slots matched this
+    # frame are protected.
+    slot_matched = jnp.any(key_eq & valid[:, None], axis=0)         # [C]
+    priority = jnp.where(state.keys < 0, jnp.int32(1 << 30), state.age)
+    priority = jnp.where(slot_matched, jnp.int32(-1), priority)
+    _, evict_order = jax.lax.top_k(priority, min(K, C))             # [K]
+
+    need_alloc = valid & ~matched
+    alloc_rank = jnp.cumsum(need_alloc.astype(jnp.int32)) - 1       # [K]
+    alloc_slot = evict_order[jnp.clip(alloc_rank, 0, evict_order.shape[0] - 1)]
+
+    slot = jnp.where(matched, match_slot, alloc_slot)               # [K]
+    write = valid
+    slot_w = jnp.where(write, slot, C)  # C = out-of-bounds -> dropped scatter
+
+    # --- write measurements into ring buffers ------------------------------
+    new_count_val = jnp.where(matched, state.count[slot] + 1, 1)
+    pos = jnp.mod(new_count_val - 1, W)
+
+    keys = state.keys.at[slot_w].set(det_keys, mode="drop")
+    count = state.count.at[slot_w].set(
+        jnp.minimum(new_count_val, jnp.int32(2 ** 30)), mode="drop")
+    angles = state.angles.at[slot_w, pos].set(angles_deg, mode="drop")
+    confs = state.confs.at[slot_w, pos].set(confidences, mode="drop")
+    age = (state.age + 1).at[slot_w].set(0, mode="drop")
+
+    # Reset ring history for freshly allocated slots beyond position 0 is
+    # unnecessary: count==1 masks stale entries in _window_smooth.
+
+    # --- compute smoothed outputs for this frame's detections --------------
+    sm_angle, sm_conf = _window_smooth(
+        angles[jnp.clip(slot, 0, C - 1)], confs[jnp.clip(slot, 0, C - 1)],
+        jnp.minimum(count[jnp.clip(slot, 0, C - 1)], W), pos,
+        aoa.smoothing_factor)
+    sm_angle = jnp.where(valid, sm_angle, angles_deg)
+    sm_conf = jnp.where(valid, sm_conf, confidences)
+
+    return (SmootherState(keys=keys, angles=angles, confs=confs,
+                          count=count, age=age),
+            sm_angle, sm_conf)
