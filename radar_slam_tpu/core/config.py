@@ -177,6 +177,14 @@ class VelocityConfig:
     two_step: bool = True                # v-only solve then full 6-DoF (:178)
     association_gate: float = 5.0        # cartesian gate [m] (improved :45)
     min_targets: int = 3                 # velocity_solver.py:202
+    # For a colocated sensor the radial observables satisfy d.(w x r) == 0
+    # (r parallel to d), so the reference's 6-DoF model cannot observe w at
+    # all -- its omega estimates are regularization artifacts.  The
+    # transverse apparent velocity of associated targets DOES see rotation:
+    # (pos_t - pos_{t-1})/dt ~= -(v + w x r).  These rows make yaw rate
+    # observable; weight reflects the coarse position quantization.
+    use_apparent_velocity: bool = True
+    apparent_velocity_weight: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

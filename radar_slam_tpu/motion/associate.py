@@ -1,0 +1,97 @@
+"""Cross-frame target association (static-shape masked greedy NN).
+
+Re-design of ``ImprovedVelocitySolver.associate_targets_across_frames``
+(``src/algorithms/velocity_solver_improved.py:74-129``): greedy
+nearest-neighbour on Cartesian target positions with a distance gate
+(5 m default; the reference docstring claims Hungarian but the code is
+greedy, ``:100``).  Current targets claim previous targets in power order
+(the detection sets arrive sorted by descending power, matching the
+reference's ``filtered_peaks.sort`` order), each taking the nearest unused
+previous target inside the gate -- implemented as a ``lax.scan`` over the
+[K, K] distance matrix with a usage mask, no dynamic shapes.
+
+Also computes, per association, everything the velocity solver needs
+(temporal phase difference on the reference antenna,
+``velocity_solver_improved.py:131-152`` / ``radarscenes_complete_analysis.py:
+293-303``; apparent velocity for the smart initial guess, ``:268-323``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.core.config import VelocityConfig
+from radar_slam_tpu.core.geometry import direction_vector
+from radar_slam_tpu.core.types import Associations, Targets
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "metric"))
+def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array,
+                      cfg: VelocityConfig, metric: str = "cartesian"
+                      ) -> Associations:
+    """Greedy gated NN association between consecutive frames.
+
+    Args:
+        metric: "cartesian" -- Euclidean distance between (x, y) positions
+            (velocity_solver_improved.py:92-98);  "polar" -- the
+            complete-analysis variant sqrt(d_range^2 + d_azimuth^2) mixing
+            metres and radians (radarscenes_complete_analysis.py:285-287).
+    """
+    K = current.range_m.shape[0]
+
+    cur_ok = current.valid & current.is_reliable
+    prev_ok = previous.valid & previous.is_reliable
+
+    if metric == "cartesian":
+        cp = current.position[:, :2]
+        pp = previous.position[:, :2]
+        diff = cp[:, None, :] - pp[None, :, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    elif metric == "polar":
+        dr = current.range_m[:, None] - previous.range_m[None, :]
+        da = current.azimuth_rad[:, None] - previous.azimuth_rad[None, :]
+        dist = jnp.sqrt(dr * dr + da * da)
+    else:
+        raise ValueError(f"Unknown association metric: {metric}")
+
+    BIG = jnp.float32(1e9)
+    dist = jnp.where(cur_ok[:, None] & prev_ok[None, :], dist, BIG)
+
+    def step(used, row):
+        d, ok = row
+        d = jnp.where(used, BIG, d)
+        j = jnp.argmin(d)
+        best = d[j]
+        hit = ok & (best < cfg.association_gate)
+        used = used | (jnp.arange(K) == j) & hit
+        return used, (j.astype(jnp.int32), best, hit)
+
+    _, (prev_idx, best_dist, hit) = jax.lax.scan(
+        step, jnp.zeros(K, bool), (dist, cur_ok))
+
+    # Temporal phase diff on reference antenna 0:
+    # angle(s_t[0] * conj(s_{t-1}[0]))  (velocity_solver_improved.py:150).
+    s_cur = current.spatial_signature[:, 0]
+    s_prev = previous.spatial_signature[prev_idx, 0]
+    phase = jnp.angle(s_cur * jnp.conj(s_prev))
+
+    dt = jnp.maximum(jnp.float32(dt), 1e-6)
+    apparent_v = (current.position - previous.position[prev_idx]) / dt
+
+    el = jnp.zeros_like(current.azimuth_rad)
+    return Associations(
+        prev_index=prev_idx,
+        distance=jnp.where(hit, best_dist, 0.0),
+        temporal_phase_diff=jnp.where(hit, phase, 0.0),
+        position=current.position,
+        direction=direction_vector(current.azimuth_rad, el),
+        vr_mps=current.vr_mps,
+        apparent_velocity=jnp.where(hit[:, None], apparent_v, 0.0),
+        weight=jnp.where(hit, current.confidence * previous.confidence[prev_idx],
+                         0.0),
+        valid=hit,
+    )

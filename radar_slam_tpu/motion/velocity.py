@@ -1,0 +1,228 @@
+"""Closed-form 6-DoF radar ego-motion velocity solver.
+
+The reference spends its compute budget on two nested
+``scipy.differential_evolution`` searches plus multi-restart thread pools
+(``src/velocity_solver/velocity_solver.py:178-269``,
+``src/algorithms/advanced_velocity_optimization.py:260-490``).  The model it
+optimizes is *linear* in the 6-vector x = (v, w)
+(``velocity_solver.py:102-111``):
+
+    phi_i   = (4 pi dt / lambda) * d_i . (v + w x r_i)
+            = (4 pi dt / lambda) * [d_i, r_i x d_i] . x
+
+so the whole apparatus collapses into batched regularized least squares
+(SURVEY.md section 7, decision 1).  Two observables are supported:
+
+- **doppler**: per-target radial velocities from the Doppler bin,
+  vr_i = -[d_i, r_i x d_i] . x  -- coarse (one velocity-resolution quantum)
+  but unambiguous.  The reference never uses this observable.
+- **phase**: the temporal phase differences the reference optimizes
+  (``velocity_solver_improved.py:150``).  With dt = 0.1 s and lambda = 3.9 mm
+  the phase wraps every ~2 cm/s of radial velocity, so the problem is a
+  lattice of local minima: we run Gauss-Newton on the *wrapped* residual
+  (the ``arctan2(sin, cos)`` trick, ``velocity_solver_improved.py:255``)
+  from an informed initial guess, which is exactly the local refinement the
+  reference's regularized DE performs around its smart init (``:268-323``).
+- **fused** (default): doppler solve seeds the phase refinement.
+
+The reference's two-step structure (v-only then full 6-DoF,
+``velocity_solver.py:206-263``) and its regularizers (ridge 0.01,
+``velocity_solver_improved.py:261-263``; 10x z-velocity penalty and temporal
+smoothness, ``advanced_velocity_optimization.py:195-219``) are kept as prior
+terms in the normal equations.  Robustness to association outliers comes from
+Huber IRLS weights instead of restart voting.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.core.config import VelocityConfig
+from radar_slam_tpu.core.geometry import wrap_angle
+from radar_slam_tpu.core.types import Associations, MotionEstimate
+
+
+def design_matrix(assoc: Associations) -> jax.Array:
+    """Rows [K, 6] = [d_i, r_i x d_i] (the radial-rate Jacobian)."""
+    r = assoc.position
+    d = assoc.direction
+    return jnp.concatenate([d, jnp.cross(r, d)], axis=-1)
+
+
+def _masked_median(x: jax.Array, valid: jax.Array) -> jax.Array:
+    return jnp.nanmedian(jnp.where(valid, x, jnp.nan))
+
+
+def smart_initial_guess(assoc: Associations, cfg: VelocityConfig) -> jax.Array:
+    """x0 = -(median apparent target velocity), z and omega zero
+    (velocity_solver_improved.py:268-323)."""
+    vx = _masked_median(assoc.apparent_velocity[:, 0], assoc.valid)
+    vy = _masked_median(assoc.apparent_velocity[:, 1], assoc.valid)
+    v = jnp.stack([-vx, -vy, 0.0])
+    v = jnp.where(jnp.isnan(v), 0.0, v)
+    v = jnp.clip(v, -cfg.max_velocity, cfg.max_velocity)
+    return jnp.concatenate([v, jnp.zeros(3)])
+
+
+def _prior_matrix(cfg: VelocityConfig, full: bool) -> jax.Array:
+    """Diagonal Tikhonov prior (reference regularizers as ridge terms)."""
+    lam = cfg.regularization_weight
+    diag = jnp.array([lam, lam, lam * cfg.z_velocity_weight,
+                      lam, lam, lam], jnp.float32)
+    if not full:
+        # v-only step: pin omega hard.
+        diag = diag.at[3:].set(1e6)
+    return jnp.diag(diag)
+
+
+def _ridge_solve(A: jax.Array, b: jax.Array, w: jax.Array, prior: jax.Array,
+                 x_prior: jax.Array, t_weight: jax.Array) -> jax.Array:
+    """Solve (A^T W A + prior + t I) x = A^T W b + t x_prior."""
+    Aw = A * w[:, None]
+    H = A.T @ Aw + prior + t_weight * jnp.eye(6, dtype=A.dtype)
+    g = Aw.T @ b + t_weight * x_prior
+    return jnp.linalg.solve(H + 1e-9 * jnp.eye(6, dtype=A.dtype), g)
+
+
+def _huber_weights(res: jax.Array, delta: float) -> jax.Array:
+    a = jnp.abs(res)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+
+
+def _apparent_velocity_rows(assoc: Associations):
+    """Linear rows for the transverse apparent-velocity observable.
+
+    Model: apparent_v = -(v + w x r), i.e. per target two rows
+        [1, 0, 0,    0,  r_z, -r_y] . x = -a_x
+        [0, 1, 0, -r_z,    0,  r_x] . x = -a_y
+    This is the observable that makes yaw rate identifiable from a single
+    colocated sensor (see VelocityConfig docstring); the reference only uses
+    it for its smart initial guess (velocity_solver_improved.py:268-323)."""
+    r = assoc.position
+    zero = jnp.zeros_like(r[:, 0])
+    one = jnp.ones_like(zero)
+    row_x = jnp.stack([one, zero, zero, zero, r[:, 2], -r[:, 1]], axis=-1)
+    row_y = jnp.stack([zero, one, zero, -r[:, 2], zero, r[:, 0]], axis=-1)
+    A = jnp.concatenate([row_x, row_y], axis=0)                  # [2K, 6]
+    b = jnp.concatenate([-assoc.apparent_velocity[:, 0],
+                         -assoc.apparent_velocity[:, 1]])        # [2K]
+    return A, b
+
+
+def solve_doppler(assoc: Associations, cfg: VelocityConfig,
+                  prev_motion: Optional[jax.Array] = None) -> jax.Array:
+    """Ridge IRLS on the Doppler radial-velocity observable (optionally
+    augmented with apparent-velocity rows).
+
+    Model: vr_i = -[d_i, r_i x d_i] . x.  Returns x [6]."""
+    A = -design_matrix(assoc)
+    b = assoc.vr_mps
+    w0 = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
+    if cfg.use_apparent_velocity:
+        A2, b2 = _apparent_velocity_rows(assoc)
+        A = jnp.concatenate([A, A2], axis=0)
+        b = jnp.concatenate([b, b2])
+        w_app = cfg.apparent_velocity_weight * jnp.concatenate([w0, w0])
+        w0 = jnp.concatenate([w0, w_app])
+    t_w = jnp.float32(cfg.temporal_weight * cfg.regularization_weight
+                      if prev_motion is not None else 0.0)
+    x_prior = prev_motion if prev_motion is not None else jnp.zeros(6)
+
+    def irls(x, full):
+        prior = _prior_matrix(cfg, full)
+        def body(_, x):
+            res = b - A @ x
+            w = w0 * _huber_weights(res, 0.5)  # 0.5 m/s robust scale
+            return _ridge_solve(A, b, w, prior, x_prior, t_w)
+        return jax.lax.fori_loop(0, 3, body, x)
+
+    x = jnp.zeros(6)
+    if cfg.two_step:
+        x = irls(x, full=False)
+    x = irls(x, full=True)
+    return x
+
+
+def refine_phase(assoc: Associations, x0: jax.Array, dt: jax.Array,
+                 lambda_c: float, cfg: VelocityConfig,
+                 prev_motion: Optional[jax.Array] = None) -> jax.Array:
+    """Gauss-Newton on the wrapped phase residual, starting from x0.
+
+    Each iteration: r = wrap(phi - A x);  x += solve(A^T W A + P, A^T W r).
+    d wrap / dx = -A almost everywhere, so this is exact GN on the wrapped
+    objective the reference's DE minimizes (velocity_solver_improved.py:
+    223-266)."""
+    scale = 4.0 * jnp.pi * jnp.float32(dt) / jnp.float32(lambda_c)
+    A = scale * design_matrix(assoc)
+    phi = assoc.temporal_phase_diff
+    w0 = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
+    t_w = jnp.float32(cfg.temporal_weight * cfg.regularization_weight
+                      if prev_motion is not None else 0.0)
+    x_prior = prev_motion if prev_motion is not None else jnp.zeros(6)
+    prior = _prior_matrix(cfg, full=True)
+
+    def body(_, x):
+        res = wrap_angle(phi - A @ x)
+        w = w0 * _huber_weights(res, cfg.huber_delta)
+        dx = _ridge_solve(A, res, w, prior, x_prior - x, t_w)
+        return x + dx
+
+    return jax.lax.fori_loop(0, cfg.gn_iterations, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lambda_c", "mode"))
+def solve_velocity(assoc: Associations, dt: jax.Array, lambda_c: float,
+                   cfg: VelocityConfig,
+                   prev_motion: Optional[jax.Array] = None,
+                   mode: Optional[str] = None) -> MotionEstimate:
+    """Full two-step 6-DoF solve; returns a :class:`MotionEstimate`.
+
+    Replaces ``two_step_optimization`` + ``run_robust_optimization``
+    (velocity_solver.py:178-305, advanced_velocity_optimization.py:410-490).
+    Deterministic -- no seeds, no restarts, no thread pools."""
+    mode = mode or cfg.mode
+    n = assoc.count
+
+    if mode == "doppler":
+        x = solve_doppler(assoc, cfg, prev_motion)
+    elif mode == "phase":
+        x0 = smart_initial_guess(assoc, cfg)
+        x = refine_phase(assoc, x0, dt, lambda_c, cfg, prev_motion)
+    elif mode == "fused":
+        x0 = solve_doppler(assoc, cfg, prev_motion)
+        x = refine_phase(assoc, x0, dt, lambda_c, cfg, prev_motion)
+    else:
+        raise ValueError(f"Unknown solver mode: {mode}")
+
+    # Speed caps (advanced_velocity_optimization.py:195-204 soft constraints,
+    # applied here as hard clips on the final estimate).
+    v = jnp.clip(x[:3], -cfg.max_velocity, cfg.max_velocity)
+    w = jnp.clip(x[3:], -cfg.max_angular_velocity, cfg.max_angular_velocity)
+    x = jnp.concatenate([v, w])
+
+    # Residual statistics on the phase observable (velocity_solver.py:277-284).
+    scale = 4.0 * jnp.pi * jnp.float32(dt) / jnp.float32(lambda_c)
+    res = wrap_angle(assoc.temporal_phase_diff - scale * (design_matrix(assoc) @ x))
+    res = jnp.where(assoc.valid, res, 0.0)
+    denom = jnp.maximum(n, 1)
+    rmse = jnp.sqrt(jnp.sum(res * res) / denom)
+    max_res = jnp.max(jnp.abs(res))
+    cost = jnp.sum(res * res)
+
+    success = n >= cfg.min_targets
+    zero = jnp.zeros(3)
+    fallback = prev_motion if prev_motion is not None else jnp.zeros(6)
+    x = jnp.where(success, x, fallback)
+    return MotionEstimate(
+        velocity=jnp.where(success, x[:3], fallback[:3]),
+        angular_velocity=jnp.where(success, x[3:], fallback[3:]),
+        rmse=jnp.where(success, rmse, jnp.inf),
+        max_residual=jnp.where(success, max_res, jnp.inf),
+        num_targets=n.astype(jnp.int32),
+        success=success,
+        cost=jnp.where(success, cost, jnp.inf),
+    )

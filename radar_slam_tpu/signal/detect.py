@@ -108,12 +108,36 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
     r_bin = (top_idx // D).astype(jnp.int32)
     d_bin = (top_idx % D).astype(jnp.int32)
 
+    # Sub-bin refinement: parabolic interpolation of the dB power through the
+    # peak and its neighbours, along both axes.  The Doppler fraction matters
+    # most -- one Doppler bin is lambda/(2 C PRI) of radial velocity (0.3 m/s
+    # at 64 chirps), while the cross-frame phase observable wraps every
+    # lambda/(4 dt) ~ 2 cm/s; sub-bin interpolation bridges that gap.  The
+    # reference reports integer bins only (dechirp.py:258-271).
+    def parabolic_frac(im, i0, ip):
+        ym = power_db[jnp.clip(im[0], 0, R - 1), jnp.clip(im[1], 0, D - 1)]
+        y0 = power_db[i0[0], i0[1]]
+        yp = power_db[jnp.clip(ip[0], 0, R - 1), jnp.clip(ip[1], 0, D - 1)]
+        denom = ym - 2.0 * y0 + yp
+        frac = jnp.where(jnp.abs(denom) > 1e-9,
+                         0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-9,
+                                                     denom, 1.0), 0.0)
+        return jnp.clip(frac, -0.5, 0.5)
+
+    r_frac = parabolic_frac((r_bin - 1, d_bin), (r_bin, d_bin), (r_bin + 1, d_bin))
+    r_frac = jnp.where((r_bin > 0) & (r_bin < R - 1), r_frac, 0.0)
+    d_frac = parabolic_frac((r_bin, d_bin - 1), (r_bin, d_bin), (r_bin, d_bin + 1))
+    d_frac = jnp.where((d_bin > 0) & (d_bin < D - 1), d_frac, 0.0)
+
     dopplers = doppler_axis_hz(cfg, D)                      # [D]
-    doppler_hz = dopplers[d_bin]
+    dop_step = jnp.float32(cfg.prf) / D
+    rng_step = ranges[1] - ranges[0] if R > 1 else jnp.float32(0.0)
+    doppler_hz = dopplers[d_bin] + d_frac * dop_step
+    range_m = ranges[r_bin] + r_frac * rng_step
     return Detections(
         range_bin=jnp.where(valid, r_bin, 0),
         doppler_bin=jnp.where(valid, d_bin, 0),
-        range_m=jnp.where(valid, ranges[r_bin], 0.0),
+        range_m=jnp.where(valid, range_m, 0.0),
         doppler_hz=jnp.where(valid, doppler_hz, 0.0),
         vr_mps=jnp.where(valid, doppler_to_radial_velocity(doppler_hz, cfg), 0.0),
         power_db=jnp.where(valid, top_vals, -jnp.inf),
