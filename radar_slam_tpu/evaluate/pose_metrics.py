@@ -1,0 +1,222 @@
+"""Pose error evaluation: Umeyama alignment, APE, RTE.
+
+Parity with ``evaluation/compute_pose_error.py`` (Umeyama SVD alignment with
+reflection fix ``:111-133``; quaternion-mean orientation alignment
+``:142-169``; APE position / rotation-angle / combined RMSE ``:195-228``;
+RTE over arc-length segments ``:238-302``), scipy-free via the core
+quaternion utilities.  Poses are [N, 7] = (x, y, z, qw, qx, qy, qz).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_RTE_SEGMENTS = (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0)
+
+
+# ---------------------------------------------------------------------------
+# numpy quaternion helpers (w, x, y, z)
+# ---------------------------------------------------------------------------
+
+def _q_mul(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    w1, x1, y1, z1 = np.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = np.moveaxis(q2, -1, 0)
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], axis=-1)
+
+
+def _q_conj(q: np.ndarray) -> np.ndarray:
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _q_norm(q: np.ndarray) -> np.ndarray:
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def _q_angle(q: np.ndarray) -> np.ndarray:
+    """Rotation angle [0, pi] of quaternion(s)."""
+    q = _q_norm(q)
+    w = np.clip(np.abs(q[..., 0]), 0.0, 1.0)
+    return 2.0 * np.arccos(w)
+
+
+def _q_mean(qs: np.ndarray) -> np.ndarray:
+    """Chordal-L2 mean rotation (eigenvector of sum of outer products);
+    equivalent to scipy Rotation.mean() used at compute_pose_error.py:163."""
+    qs = _q_norm(qs)
+    # Resolve double cover against the first quaternion.
+    sign = np.where(np.sum(qs * qs[:1], axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    qs = qs * sign
+    M = qs.T @ qs
+    vals, vecs = np.linalg.eigh(M)
+    return _q_norm(vecs[:, -1] * np.sign(vecs[0, -1] or 1.0))
+
+
+def _q_to_matrix(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+# ---------------------------------------------------------------------------
+# Alignment
+# ---------------------------------------------------------------------------
+
+def umeyama_alignment(source: np.ndarray, target: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Rigid (rotation + translation, no scale) Umeyama alignment.
+
+    Returns (aligned_source [N, 3], T [4, 4]) such that aligned = R s + t.
+    (compute_pose_error.py:98-140, including the det < 0 reflection fix.)"""
+    source = np.asarray(source, np.float64)
+    target = np.asarray(target, np.float64)
+    mu_s, mu_t = source.mean(axis=0), target.mean(axis=0)
+    H = (source - mu_s).T @ (target - mu_t)
+    U, _S, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        Vt = Vt.copy()
+        Vt[-1, :] *= -1
+        R = Vt.T @ U.T
+    t = mu_t - R @ mu_s
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = R, t
+    return (R @ source.T).T + t, T
+
+
+def align_orientations(source_q: np.ndarray, target_q: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-multiply source orientations by the mean relative rotation
+    (compute_pose_error.py:142-169).  Returns (aligned_q [N,4], q_align)."""
+    rel = _q_mul(_q_norm(target_q), _q_conj(_q_norm(source_q)))
+    q_align = _q_mean(rel)
+    aligned = _q_norm(_q_mul(np.broadcast_to(q_align, source_q.shape), source_q))
+    return aligned, q_align
+
+
+def align_trajectories(est_poses: np.ndarray, gt_poses: np.ndarray):
+    """Align estimated poses [N, 7] to ground truth (positions by Umeyama,
+    orientations by mean relative rotation).  Returns (aligned [N, 7], info)."""
+    pos, T = umeyama_alignment(est_poses[:, :3], gt_poses[:, :3])
+    quat, q_align = align_orientations(est_poses[:, 3:7], gt_poses[:, 3:7])
+    info = {"position_rotation": T[:3, :3], "position_translation": T[:3, 3],
+            "orientation_alignment_quat": q_align,
+            "scale_factor": float(np.cbrt(abs(np.linalg.det(T[:3, :3]))))}
+    return np.column_stack([pos, quat]), T, info
+
+
+# ---------------------------------------------------------------------------
+# APE / RTE
+# ---------------------------------------------------------------------------
+
+def compute_ape(est_poses: np.ndarray, gt_poses: np.ndarray,
+                align: bool = True) -> Dict:
+    """Absolute Pose Error metrics (compute_pose_error.py:171-236)."""
+    if align:
+        aligned, _T, info = align_trajectories(est_poses, gt_poses)
+    else:
+        aligned, info = est_poses, {}
+    dp = np.linalg.norm(aligned[:, :3] - gt_poses[:, :3], axis=1)
+    rel = _q_mul(_q_norm(gt_poses[:, 3:7]), _q_conj(_q_norm(aligned[:, 3:7])))
+    dr = _q_angle(rel)
+    combined = np.sqrt(dp ** 2 + dr ** 2)
+
+    def stats(e, prefix):
+        return {f"{prefix}_rmse": float(np.sqrt(np.mean(e ** 2))),
+                f"{prefix}_mean": float(np.mean(e)),
+                f"{prefix}_std": float(np.std(e)),
+                f"{prefix}_max": float(np.max(e))}
+
+    out = {"position_errors": dp, "orientation_errors": dr,
+           "pose_errors": combined, "alignment_info": info}
+    out.update(stats(dp, "position"))
+    out.update(stats(dr, "orientation"))
+    out.update(stats(combined, "pose"))
+    return out
+
+
+def _relative_transform(p0, p1, q0, q1):
+    """SE(3) motion from pose 0 to pose 1 expressed in frame 0."""
+    R0 = _q_to_matrix(_q_norm(q0))
+    dp = R0.T @ (p1 - p0)
+    dq = _q_mul(_q_conj(_q_norm(q0)), _q_norm(q1))
+    return dp, dq
+
+
+def compute_rte(est_poses: np.ndarray, gt_poses: np.ndarray,
+                segment_lengths=DEFAULT_RTE_SEGMENTS,
+                align: bool = True) -> Dict:
+    """Relative Trajectory Error over arc-length segments
+    (compute_pose_error.py:238-330)."""
+    if align:
+        aligned, _T, _info = align_trajectories(est_poses, gt_poses)
+    else:
+        aligned = est_poses
+    gt_pos = gt_poses[:, :3]
+    dist = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(gt_pos, axis=0), axis=1))])
+
+    out = {}
+    n = len(gt_pos)
+    for seg in segment_lengths:
+        # end index for each start: first index whose arc length exceeds
+        # start + seg (vectorized searchsorted).
+        ends = np.searchsorted(dist, dist + seg, side="left")
+        errors = []
+        for i in range(n):
+            j = ends[i]
+            if j >= n or j <= i:
+                continue
+            dp_e, dq_e = _relative_transform(aligned[i, :3], aligned[j, :3],
+                                             aligned[i, 3:7], aligned[j, 3:7])
+            dp_g, dq_g = _relative_transform(gt_pos[i], gt_pos[j],
+                                             gt_poses[i, 3:7], gt_poses[j, 3:7])
+            errors.append(np.linalg.norm(dp_e - dp_g))
+        if errors:
+            e = np.array(errors)
+            out[f"rte_{seg:.0f}m"] = {
+                "errors": e,
+                "rmse": float(np.sqrt(np.mean(e ** 2))),
+                "mean": float(np.mean(e)),
+                "std": float(np.std(e)),
+                "max": float(np.max(e)),
+                "num_segments": len(e),
+            }
+    return out
+
+
+def planar_pose_errors(est_xyyaw: np.ndarray, gt_xyyaw: np.ndarray,
+                       velocities_est: Optional[np.ndarray] = None,
+                       velocities_gt: Optional[np.ndarray] = None) -> Dict:
+    """The complete-analysis error metrics on planar (x, y, yaw) tracks
+    (radarscenes_complete_analysis.py:307-351): position / yaw RMSE + MAE +
+    max, velocity RMSE, trajectory length error."""
+    est = np.asarray(est_xyyaw, np.float64)
+    gt = np.asarray(gt_xyyaw, np.float64)
+    dp = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
+    dyaw = np.abs(est[:, 2] - gt[:, 2])
+    out = {
+        "position_rmse": float(np.sqrt(np.mean(dp ** 2))),
+        "position_mae": float(np.mean(dp)),
+        "position_max_error": float(np.max(dp)),
+        "yaw_rmse": float(np.sqrt(np.mean(dyaw ** 2))),
+        "yaw_mae": float(np.mean(dyaw)),
+        "yaw_max_error": float(np.max(dyaw)),
+    }
+    if velocities_est is not None and velocities_gt is not None:
+        ve = np.linalg.norm(np.asarray(velocities_est)
+                            - np.asarray(velocities_gt), axis=1)
+        out["velocity_rmse"] = float(np.sqrt(np.mean(ve ** 2)))
+        out["velocity_mae"] = float(np.mean(ve))
+    if len(est) > 1:
+        le = np.sum(np.linalg.norm(np.diff(est[:, :2], axis=0), axis=1))
+        lg = np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1))
+        out["trajectory_length_error"] = float(abs(le - lg) / max(lg, 1e-6))
+    return out

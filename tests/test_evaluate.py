@@ -1,0 +1,120 @@
+"""Evaluation-layer tests: Umeyama recovery, APE/RTE sanity, velocity
+metric names (parity with evaluation/compute_velocity_error.py and
+compute_pose_error.py)."""
+
+import numpy as np
+import pytest
+
+from radar_slam_tpu.evaluate import pose_metrics as pm
+from radar_slam_tpu.evaluate import reports
+from radar_slam_tpu.evaluate import velocity_metrics as vm
+
+
+def rand_traj(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 10, n)
+    pos = np.stack([10 * t, 5 * np.sin(0.3 * t), 0.05 * t], axis=1)
+    yaw = 0.1 * t
+    quat = np.stack([np.cos(yaw / 2), 0 * yaw, 0 * yaw, np.sin(yaw / 2)], axis=1)
+    return np.column_stack([pos, quat])
+
+
+def rigid_transform(poses, R, t):
+    out = poses.copy()
+    out[:, :3] = (R @ poses[:, :3].T).T + t
+    ang = np.deg2rad(30.0)
+    qR = np.array([np.cos(ang / 2), 0, 0, np.sin(ang / 2)])
+    out[:, 3:7] = pm._q_mul(np.broadcast_to(qR, (len(poses), 4)), poses[:, 3:7])
+    return out
+
+
+def test_umeyama_recovers_rigid_transform():
+    gt = rand_traj()
+    ang = np.deg2rad(30.0)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t = np.array([5.0, -2.0, 1.0])
+    est = rigid_transform(gt, R, t)
+    aligned, T = pm.umeyama_alignment(est[:, :3], gt[:, :3])
+    np.testing.assert_allclose(aligned, gt[:, :3], atol=1e-8)
+    np.testing.assert_allclose(T[:3, :3] @ R, np.eye(3), atol=1e-8)
+
+
+def test_ape_zero_for_rigidly_moved_trajectory():
+    gt = rand_traj()
+    ang = np.deg2rad(30.0)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    est = rigid_transform(gt, R, np.array([1.0, 2.0, 3.0]))
+    ape = pm.compute_ape(est, gt)
+    assert ape["position_rmse"] < 1e-6
+    assert ape["orientation_rmse"] < 1e-6
+
+
+def test_ape_detects_noise_scale():
+    gt = rand_traj()
+    rng = np.random.default_rng(1)
+    est = gt.copy()
+    est[:, :3] += rng.normal(0, 0.5, est[:, :3].shape)
+    ape = pm.compute_ape(est, gt)
+    assert 0.3 < ape["position_rmse"] < 1.0
+
+
+def test_rte_segments():
+    gt = rand_traj(n=200)          # ~100 m long trajectory
+    est = gt.copy()
+    est[:, :3] += np.random.default_rng(2).normal(0, 0.05, est[:, :3].shape)
+    rte = pm.compute_rte(est, gt, segment_lengths=(20.0, 50.0))
+    assert "rte_20m" in rte and "rte_50m" in rte
+    assert rte["rte_20m"]["num_segments"] > 50
+    assert rte["rte_20m"]["rmse"] < 0.5
+
+
+def test_velocity_metric_names_and_values():
+    est = np.zeros((50, 6))
+    gt = np.zeros((50, 6))
+    est[:, 0] = 1.0                 # constant +1 bias on vx
+    res = vm.compute_velocity_errors(est, gt)
+    m = res["component_metrics"]["vx"]
+    for key in ("rmse", "mae", "bias", "std", "min_error", "max_error",
+                "median_error", "q25_error", "q75_error"):
+        assert key in m
+    assert m["rmse"] == pytest.approx(1.0)
+    assert m["bias"] == pytest.approx(1.0)
+    assert m["std"] == pytest.approx(0.0)
+    assert res["overall_metrics"]["rmse"] == pytest.approx(np.sqrt(1 / 6))
+
+
+def test_trend_analysis_detects_drift():
+    n = 100
+    t = np.arange(n, dtype=float)
+    est = np.zeros((n, 6))
+    est[:, 1] = 0.01 * t            # linear drift on vy
+    res = vm.compute_velocity_errors(est, np.zeros((n, 6)), timestamps=t)
+    trends = vm.analyze_error_trends(res)
+    assert trends["drift_coefficients"][1] == pytest.approx(0.01, rel=1e-6)
+    assert abs(trends["drift_coefficients"][0]) < 1e-12
+
+
+def test_planar_errors():
+    est = np.array([[0, 0, 0], [1, 0, 0.1], [2, 0, 0.2]], float)
+    gt = np.array([[0, 0, 0], [1, 1, 0.1], [2, 0, 0.3]], float)
+    m = pm.planar_pose_errors(est, gt)
+    assert m["position_rmse"] == pytest.approx(np.sqrt(1 / 3))
+    assert m["yaw_max_error"] == pytest.approx(0.1)
+
+
+def test_reports_render(tmp_path):
+    est = np.random.default_rng(0).normal(0, 0.1, (30, 6))
+    res = vm.compute_velocity_errors(est, np.zeros((30, 6)))
+    trends = vm.analyze_error_trends(res)
+    md = reports.velocity_report_markdown(res, trends)
+    assert "## Overall Metrics" in md and "| vx |" in md
+    gt = rand_traj()
+    ape = pm.compute_ape(gt, gt)
+    md2 = reports.pose_report_markdown(ape, pm.compute_rte(gt, gt, (20.0,)))
+    assert "APE" in md2
+    reports.write_report(md, tmp_path / "v.md")
+    reports.save_json({"a": np.float32(1.5), "b": np.arange(3)},
+                      tmp_path / "r.json")
+    assert (tmp_path / "v.md").exists() and (tmp_path / "r.json").exists()
