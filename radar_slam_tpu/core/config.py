@@ -117,6 +117,11 @@ class DetectionConfig:
     max_range: float = 200.0           # dechirp.py:219
     max_detections: int = 64           # static K (>= reference max_targets=50)
     neighborhood: int = 3              # local-max window (3x3, dechirp.py:251)
+    # Cross-detection non-max suppression: drop any detection within this
+    # many bins (Chebyshev) of a stronger one.  Kills range/Doppler sidelobe
+    # duplicates of strong targets that survive the local-max filter; the
+    # reference has no equivalent (its duplicate peaks flow downstream).
+    nms_radius: int = 2
     guard_cells: int = 0               # CA-CFAR guard band (0 = plain threshold)
     cfar_train_cells: int = 0          # >0 enables cell-averaging CFAR offset
     cfar_offset_db: float = 12.0       # CFAR threshold over local noise estimate
@@ -210,6 +215,10 @@ class PipelineConfig:
     frame_duration_ms: float = 100.0         # loader frame window (loader :141)
     max_scatterers: int = 512                # static pad for scatterer batches
     chirp_subset: Optional[Tuple[int, int]] = None  # dechirp.py:183-187
+    window: str = "hann"                     # fast-time window (dechirp.py:99)
+    # Slow-time window: the reference windows fast time only, leaving -13 dB
+    # Doppler sidelobes that duplicate strong targets; we window both axes.
+    doppler_window: Optional[str] = "hann"
 
     @property
     def frame_dt(self) -> float:

@@ -28,7 +28,7 @@ class ScattererBatch(NamedTuple):
     valid: jax.Array        # [S] bool
 
     @property
-    def count(self) -> jax.Array:
+    def num_valid(self) -> jax.Array:
         return jnp.sum(self.valid)
 
 
@@ -47,7 +47,7 @@ class Detections(NamedTuple):
     valid: jax.Array        # [K] bool
 
     @property
-    def count(self) -> jax.Array:
+    def num_valid(self) -> jax.Array:
         return jnp.sum(self.valid)
 
 
@@ -70,6 +70,10 @@ class Targets(NamedTuple):
     is_reliable: jax.Array        # [K] bool
     spatial_signature: jax.Array  # [K, A] complex64, unit power
     valid: jax.Array              # [K] bool
+
+    @property
+    def num_valid(self) -> jax.Array:
+        return jnp.sum(self.valid)
 
     @property
     def position(self) -> jax.Array:
@@ -98,7 +102,7 @@ class Associations(NamedTuple):
     valid: jax.Array                # [K] bool
 
     @property
-    def count(self) -> jax.Array:
+    def num_valid(self) -> jax.Array:
         return jnp.sum(self.valid)
 
 

@@ -29,7 +29,12 @@ class SceneConfig:
     max_range: float = 55.0
     rcs_min_db: float = 5.0
     rcs_max_db: float = 20.0
-    azimuth_span_rad: float = 1.4      # field of view (+/- span/2)
+    azimuth_span_rad: float = 1.4      # initial point placement (+/- span/2)
+    # Sensor field of view: points outside are not observed.  A ULA cannot
+    # distinguish az from pi - az (cone ambiguity), so points drifting behind
+    # the array would otherwise alias to mirrored azimuths and corrupt the
+    # rotation observable.
+    fov_rad: float = 2.4
     max_scatterers: int = 512
 
 
@@ -52,7 +57,8 @@ def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
                    ego_xy: jax.Array, ego_yaw: jax.Array,
                    v_body: jax.Array, yaw_rate: jax.Array,
                    max_scatterers: int,
-                   max_range: float = 1e9) -> ScattererBatch:
+                   max_range: float = 1e9,
+                   fov_rad: float = 2.4) -> ScattererBatch:
     """Project static world points into the ego body frame at one instant.
 
     Radial velocity is the physical range rate of a static point seen from a
@@ -75,8 +81,9 @@ def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
     assert pad >= 0, "max_scatterers smaller than point count"
     z = lambda x, fill=0.0: jnp.concatenate(
         [x, jnp.full((pad,), fill, x.dtype)]) if pad else x
-    valid = jnp.concatenate([rng <= max_range,
-                             jnp.zeros((pad,), bool)]) if pad else (rng <= max_range)
+    observable = (rng <= max_range) & (jnp.abs(az) <= fov_rad / 2)
+    valid = jnp.concatenate([observable, jnp.zeros((pad,), bool)]) \
+        if pad else observable
     return ScattererBatch(
         range_m=z(rng.astype(jnp.float32)),
         azimuth_rad=z(az.astype(jnp.float32)),
@@ -105,7 +112,8 @@ def constant_motion_scene(key: jax.Array, num_frames: int, dt: float,
     for _ in range(num_frames):
         poses.append(jnp.concatenate([x, yaw[None]]))
         frames.append(observe_points(world, rcs, x, yaw, vb, w,
-                                     scene.max_scatterers))
+                                     scene.max_scatterers,
+                                     fov_rad=scene.fov_rad))
         # exact constant-twist integration
         c, s = jnp.cos(yaw), jnp.sin(yaw)
         v_world = jnp.stack([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1]])

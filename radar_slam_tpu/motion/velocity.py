@@ -155,23 +155,37 @@ def refine_phase(assoc: Associations, x0: jax.Array, dt: jax.Array,
     Each iteration: r = wrap(phi - A x);  x += solve(A^T W A + P, A^T W r).
     d wrap / dx = -A almost everywhere, so this is exact GN on the wrapped
     objective the reference's DE minimizes (velocity_solver_improved.py:
-    223-266)."""
+    223-266).
+
+    Only the translational block is refined: the phase observable is purely
+    radial, and for a colocated sensor the omega columns of the Jacobian are
+    identically zero (r x d = 0) -- refining all 6 parameters would couple a
+    ~1e8-magnitude v block with the 1e-2 omega prior in one float32 solve
+    (condition ~1e10) and fill omega with numerical noise; omega keeps the
+    value observed by the doppler/apparent-velocity stage."""
     scale = 4.0 * jnp.pi * jnp.float32(dt) / jnp.float32(lambda_c)
-    A = scale * design_matrix(assoc)
+    A = scale * assoc.direction                                   # [K, 3]
     phi = assoc.temporal_phase_diff
     w0 = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
     t_w = jnp.float32(cfg.temporal_weight * cfg.regularization_weight
                       if prev_motion is not None else 0.0)
-    x_prior = prev_motion if prev_motion is not None else jnp.zeros(6)
-    prior = _prior_matrix(cfg, full=True)
+    v_prior = (prev_motion[:3] if prev_motion is not None else jnp.zeros(3))
+    lam = cfg.regularization_weight
+    prior3 = jnp.diag(jnp.array([lam, lam, lam * cfg.z_velocity_weight],
+                                jnp.float32))
+    eye3 = jnp.eye(3, dtype=A.dtype)
 
-    def body(_, x):
-        res = wrap_angle(phi - A @ x)
+    def body(_, v):
+        res = wrap_angle(phi - A @ v)
         w = w0 * _huber_weights(res, cfg.huber_delta)
-        dx = _ridge_solve(A, res, w, prior, x_prior - x, t_w)
-        return x + dx
+        Aw = A * w[:, None]
+        H = A.T @ Aw + (scale * scale) * (prior3 + t_w * eye3)
+        g = Aw.T @ res + (scale * scale) * t_w * (v_prior - v)
+        dv = jnp.linalg.solve(H + 1e-6 * (scale * scale) * eye3, g)
+        return v + dv
 
-    return jax.lax.fori_loop(0, cfg.gn_iterations, body, x0)
+    v = jax.lax.fori_loop(0, cfg.gn_iterations, body, x0[:3])
+    return jnp.concatenate([v, x0[3:]])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lambda_c", "mode"))
@@ -185,7 +199,7 @@ def solve_velocity(assoc: Associations, dt: jax.Array, lambda_c: float,
     (velocity_solver.py:178-305, advanced_velocity_optimization.py:410-490).
     Deterministic -- no seeds, no restarts, no thread pools."""
     mode = mode or cfg.mode
-    n = assoc.count
+    n = assoc.num_valid
 
     if mode == "doppler":
         x = solve_doppler(assoc, cfg, prev_motion)

@@ -1,0 +1,170 @@
+"""The per-frame pipeline step and whole-sequence scan driver.
+
+This is the TPU-first equivalent of the reference's per-frame hot loop
+(``results/ground_truth_comparison/radarscenes_complete_analysis.py:144-213``:
+synthesize -> RDS -> peaks -> robust angles -> associate -> optimize ->
+integrate).  The entire chain is ONE traced XLA program per frame, and
+:func:`process_sequence` runs a full sequence as a single ``lax.scan`` --
+no host round-trips between stages (the reference's stages exchange
+``.npy`` files on disk, SURVEY.md section 1).
+
+State carried across frames (all static-shape pytrees):
+- the AoA temporal-smoother track table,
+- the previous frame's targets (for association),
+- the previous motion estimate (temporal prior),
+- the integrated planar pose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_slam_tpu.aoa import robust as aoa_robust
+from radar_slam_tpu.aoa import smoothing
+from radar_slam_tpu.core.config import PipelineConfig
+from radar_slam_tpu.core.types import (Associations, Detections,
+                                       MotionEstimate, ScattererBatch, Targets)
+from radar_slam_tpu.motion.associate import associate_targets
+from radar_slam_tpu.motion.pose import planar_pose_step
+from radar_slam_tpu.motion.velocity import solve_velocity
+from radar_slam_tpu.signal.detect import detect_peaks
+from radar_slam_tpu.signal.rds import range_doppler_spectrum
+from radar_slam_tpu.signal.synth import synthesize_frame
+
+
+class FrameState(NamedTuple):
+    smoother: smoothing.SmootherState
+    prev_targets: Targets
+    prev_valid: jax.Array        # scalar bool
+    prev_motion: jax.Array       # [6]
+    pose: jax.Array              # [3] planar (x, y, yaw)
+
+
+class FrameOutput(NamedTuple):
+    motion: MotionEstimate
+    pose: jax.Array              # [3] pose AFTER this frame's update
+    num_detections: jax.Array
+    num_reliable: jax.Array
+    num_associations: jax.Array
+
+
+def _empty_targets(cfg: PipelineConfig) -> Targets:
+    K = cfg.detection.max_detections
+    A = cfg.radar.num_antennas
+    zf = jnp.zeros(K, jnp.float32)
+    zi = jnp.zeros(K, jnp.int32)
+    zb = jnp.zeros(K, bool)
+    return Targets(range_bin=zi, doppler_bin=zi, range_m=zf, doppler_hz=zf,
+                   vr_mps=zf, power_db=zf, azimuth_rad=zf, confidence=zf,
+                   num_sources=zi, is_multipath=zb, is_reliable=zb,
+                   spatial_signature=jnp.zeros((K, A), jnp.complex64),
+                   valid=zb)
+
+
+def init_state(cfg: PipelineConfig,
+               initial_pose: Optional[jax.Array] = None) -> FrameState:
+    return FrameState(
+        smoother=smoothing.init_state(cfg.aoa),
+        prev_targets=_empty_targets(cfg),
+        prev_valid=jnp.array(False),
+        prev_motion=jnp.zeros(6, jnp.float32),
+        pose=(initial_pose if initial_pose is not None
+              else jnp.zeros(3, jnp.float32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
+                    rotate_pose: bool = True
+                    ) -> Tuple[FrameState, FrameOutput]:
+    """One frame step from an ADC cube [A, C, S] (baseband domain)."""
+    rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
+                                 chirp_subset=cfg.chirp_subset,
+                                 doppler_window=cfg.doppler_window)
+    det = detect_peaks(rds, cfg.radar, cfg.detection)
+    targets, smoother = aoa_robust.process_targets_robust(
+        rds, det, state.smoother, cfg.radar, cfg.aoa, method=cfg.aoa.method)
+
+    assoc = associate_targets(targets, state.prev_targets,
+                              cfg.frame_dt, cfg.velocity)
+    assoc = assoc._replace(valid=assoc.valid & state.prev_valid)
+
+    motion = solve_velocity(assoc, jnp.float32(cfg.frame_dt),
+                            cfg.radar.lambda_c, cfg.velocity,
+                            prev_motion=state.prev_motion)
+
+    pose = jnp.where(
+        motion.success,
+        planar_pose_step(state.pose, motion.velocity,
+                         motion.angular_velocity[2],
+                         jnp.float32(cfg.frame_dt), rotate_pose),
+        state.pose)
+
+    new_state = FrameState(
+        smoother=smoother,
+        prev_targets=targets,
+        prev_valid=targets.num_valid > 0,
+        prev_motion=jnp.where(motion.success, motion.params,
+                              state.prev_motion),
+        pose=pose,
+    )
+    out = FrameOutput(
+        motion=motion,
+        pose=pose,
+        num_detections=det.num_valid.astype(jnp.int32),
+        num_reliable=jnp.sum(targets.is_reliable).astype(jnp.int32),
+        num_associations=assoc.num_valid.astype(jnp.int32),
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_scatterers(state: FrameState, scatterers: ScattererBatch,
+                       key: jax.Array, cfg: PipelineConfig,
+                       rotate_pose: bool = True
+                       ) -> Tuple[FrameState, FrameOutput]:
+    """One frame step from point-cloud scatterers (synthesis included)."""
+    signals = synthesize_frame(scatterers, cfg.radar, key)
+    return process_signals(state, signals, cfg, rotate_pose)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_sequence(scatterers: ScattererBatch, key: jax.Array,
+                     cfg: PipelineConfig, rotate_pose: bool = True,
+                     initial_pose: Optional[jax.Array] = None
+                     ) -> FrameOutput:
+    """Whole-sequence pipeline as one ``lax.scan``.
+
+    Args:
+        scatterers: stacked batches with leading frame axis [F, S_max].
+
+    Returns:
+        FrameOutput with leading frame axis [F, ...].
+    """
+    F = scatterers.range_m.shape[0]
+    keys = jax.random.split(key, F)
+    state = init_state(cfg, initial_pose)
+
+    def step(st, inp):
+        sc, k = inp
+        return process_scatterers(st, sc, k, cfg, rotate_pose)
+
+    _, outputs = jax.lax.scan(step, state, (scatterers, keys))
+    return outputs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_signal_sequence(signals: jax.Array, cfg: PipelineConfig,
+                            rotate_pose: bool = True) -> FrameOutput:
+    """Whole-sequence pipeline over pre-synthesized ADC cubes [F, A, C, S]."""
+    state = init_state(cfg)
+
+    def step(st, sig):
+        return process_signals(st, sig, cfg, rotate_pose)
+
+    _, outputs = jax.lax.scan(step, state, signals)
+    return outputs

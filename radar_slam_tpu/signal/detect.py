@@ -108,6 +108,16 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
     r_bin = (top_idx // D).astype(jnp.int32)
     d_bin = (top_idx % D).astype(jnp.int32)
 
+    if det.nms_radius > 0:
+        # Cross-detection NMS: the top-K list is power-sorted, so detection i
+        # is suppressed if any j < i lies within the Chebyshev radius.
+        dr = jnp.abs(r_bin[:, None] - r_bin[None, :])
+        dd = jnp.abs(d_bin[:, None] - d_bin[None, :])
+        close = (dr <= det.nms_radius) & (dd <= det.nms_radius)
+        stronger = jnp.arange(K)[None, :] < jnp.arange(K)[:, None]
+        suppressed = jnp.any(close & stronger & valid[None, :], axis=1)
+        valid = valid & ~suppressed
+
     # Sub-bin refinement: parabolic interpolation of the dB power through the
     # peak and its neighbours, along both axes.  The Doppler fraction matters
     # most -- one Doppler bin is lambda/(2 C PRI) of radial velocity (0.3 m/s
