@@ -97,7 +97,11 @@ def update(state: SmootherState, det_keys: jax.Array, angles_deg: jax.Array,
     K = det_keys.shape[0]
 
     # --- match detections to existing tracks -------------------------------
-    key_eq = (state.keys[None, :] == det_keys[:, None]) & (state.keys[None, :] >= 0)
+    # Stale tracks (not updated within track_max_age frames) are unmatchable:
+    # their bin may now hold a different physical target.
+    fresh = state.age <= aoa.track_max_age
+    key_eq = ((state.keys[None, :] == det_keys[:, None])
+              & (state.keys[None, :] >= 0) & fresh[None, :])
     matched = jnp.any(key_eq, axis=1) & valid                       # [K]
     match_slot = jnp.argmax(key_eq, axis=1)                         # [K]
 

@@ -58,6 +58,7 @@ def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
                    v_body: jax.Array, yaw_rate: jax.Array,
                    max_scatterers: int,
                    max_range: float = 1e9,
+                   min_range: float = 1.5,
                    fov_rad: float = 2.4) -> ScattererBatch:
     """Project static world points into the ego body frame at one instant.
 
@@ -81,7 +82,8 @@ def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
     assert pad >= 0, "max_scatterers smaller than point count"
     z = lambda x, fill=0.0: jnp.concatenate(
         [x, jnp.full((pad,), fill, x.dtype)]) if pad else x
-    observable = (rng <= max_range) & (jnp.abs(az) <= fov_rad / 2)
+    observable = ((rng <= max_range) & (rng >= min_range)
+                  & (jnp.abs(az) <= fov_rad / 2))
     valid = jnp.concatenate([observable, jnp.zeros((pad,), bool)]) \
         if pad else observable
     return ScattererBatch(
@@ -93,15 +95,43 @@ def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
     )
 
 
+def corridor_points(key: jax.Array, scene: SceneConfig, path_xy: jax.Array,
+                    lateral: float = 30.0) -> Tuple[jax.Array, jax.Array]:
+    """Scatter points around an ego path so targets stay in view for the
+    whole sequence: each point is offset laterally + longitudinally from a
+    random path sample."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = scene.num_points
+    t = jax.random.uniform(k1, (n,), minval=0.0, maxval=1.0)
+    idx = (t * (path_xy.shape[0] - 1)).astype(jnp.int32)
+    base = path_xy[idx]
+    offs = jax.random.uniform(k2, (n, 2), minval=-1.0, maxval=1.0) \
+        * jnp.array([scene.max_range * 0.8, lateral])
+    rcs = jax.random.uniform(k3, (n,), minval=scene.rcs_min_db,
+                             maxval=scene.rcs_max_db)
+    return base + offs, rcs
+
+
 def constant_motion_scene(key: jax.Array, num_frames: int, dt: float,
                           v_body: Tuple[float, float],
                           yaw_rate: float,
                           scene: SceneConfig = SceneConfig()):
     """Generate a frame sequence under constant body velocity + yaw rate.
 
+    Points are distributed along the ego's path (corridor) so the scene
+    stays observable over arbitrarily long sequences.
+
     Returns (scatterer_batches stacked [F, S], gt) where gt is a dict of
     ego poses [F, 3] (x, y, yaw) and body velocities."""
-    world, rcs = make_world_points(key, scene)
+    # Pre-compute the exact path to seed the corridor point distribution.
+    kw, key = jax.random.split(key)
+    yaws = jnp.float32(yaw_rate) * dt * jnp.arange(num_frames + 1)
+    vb0 = jnp.array([v_body[0], v_body[1]], jnp.float32)
+    c, s = jnp.cos(yaws[:-1]), jnp.sin(yaws[:-1])
+    steps = jnp.stack([c * vb0[0] - s * vb0[1],
+                       s * vb0[0] + c * vb0[1]], axis=-1) * dt
+    path = jnp.concatenate([jnp.zeros((1, 2)), jnp.cumsum(steps, axis=0)])
+    world, rcs = corridor_points(kw, scene, path)
     vb = jnp.array([v_body[0], v_body[1]], jnp.float32)
     w = jnp.float32(yaw_rate)
 
@@ -113,6 +143,7 @@ def constant_motion_scene(key: jax.Array, num_frames: int, dt: float,
         poses.append(jnp.concatenate([x, yaw[None]]))
         frames.append(observe_points(world, rcs, x, yaw, vb, w,
                                      scene.max_scatterers,
+                                     max_range=scene.max_range,
                                      fov_rad=scene.fov_rad))
         # exact constant-twist integration
         c, s = jnp.cos(yaw), jnp.sin(yaw)
