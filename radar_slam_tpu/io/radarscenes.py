@@ -1,0 +1,283 @@
+"""RadarScenes dataset ingest: host-side HDF5 -> padded device batches.
+
+Parity with ``src/datasets/radarscenes_loader.py`` (class
+``RadarScenesLoader``): sequence loading (``:55``), 100 ms frame windowing
+(``:139``), nearest-timestamp odometry lookup within 1 s (``:194-224``),
+scatterer conversion (``:226-254``), dataset statistics (``:324`` /
+``analyze_radarscenes_dataset:412``).
+
+TPU-first differences:
+- frame windowing and odometry lookup are vectorized (``np.searchsorted``
+  over the full measurement arrays instead of a per-window pandas filter);
+- the output of :meth:`frames_as_batches` is a stacked, padded
+  :class:`ScattererBatch` pytree ready to feed ``pipeline.process_sequence``
+  (one ``jax.device_put`` for a whole sequence instead of per-frame host
+  round-trips);
+- timestamps stay int64 microseconds on the host (numpy); only relative
+  float32 seconds go to the device (x64 is disabled under jit).
+- per-sensor mounting poses are read from ``sensors.json`` when present and
+  applied to scatterer azimuths/positions; the reference ignores mounting
+  entirely (treats every sensor's coordinates as the vehicle frame).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from radar_slam_tpu.core.types import ScattererBatch
+
+SCATTERER_FIELDS = ("range_sc", "azimuth_sc", "rcs", "vr", "x_cc", "y_cc")
+
+
+class RadarScenesLoader:
+    """Loader for the RadarScenes dataset layout
+    (``<root>/data/sensors.json``, ``<root>/data/sequence_*/radar_data.h5``).
+    """
+
+    def __init__(self, dataset_path: str):
+        self.dataset_path = Path(dataset_path)
+        self.sensors_info = self._load_json("data/sensors.json")
+        self.sequence_info = self._load_json("data/sequences.json")
+
+    def _load_json(self, rel: str) -> Dict:
+        p = self.dataset_path / rel
+        if p.exists():
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    # ------------------------------------------------------------------
+    # Sequence loading (radarscenes_loader.py:55-112)
+    # ------------------------------------------------------------------
+
+    def load_sequence_data(self, sequence_id: str) -> Dict:
+        import h5py
+
+        seq = self.dataset_path / "data" / sequence_id
+        if not seq.exists():
+            raise ValueError(f"Sequence {sequence_id} not found under "
+                             f"{self.dataset_path}/data")
+        with h5py.File(seq / "radar_data.h5", "r") as f:
+            radar = {k: np.asarray(f["radar_data"][k])
+                     for k in f["radar_data"].dtype.names}
+            odometry = {k: np.asarray(f["odometry"][k])
+                        for k in f["odometry"].dtype.names}
+        scenes = {}
+        scenes_file = seq / "scenes.json"
+        if scenes_file.exists():
+            with open(scenes_file) as f:
+                scenes = json.load(f)
+        # Sort odometry by timestamp once; lookups are searchsorted.
+        order = np.argsort(odometry["timestamp"])
+        odometry = {k: v[order] for k, v in odometry.items()}
+        return {
+            "sequence_id": sequence_id,
+            "radar_data": radar,
+            "odometry_data": odometry,
+            "scenes_data": scenes,
+            "sensors_info": self.sensors_info,
+            "metadata": {
+                "first_timestamp": scenes.get("first_timestamp"),
+                "last_timestamp": scenes.get("last_timestamp"),
+                "category": scenes.get("category", "unknown"),
+            },
+        }
+
+    # ------------------------------------------------------------------
+    # Frame windowing (radarscenes_loader.py:139-192)
+    # ------------------------------------------------------------------
+
+    def extract_radar_frames(self, sequence_data: Dict,
+                             frame_duration_ms: float = 100.0) -> List[Dict]:
+        radar = sequence_data["radar_data"]
+        ts = radar["timestamp"]
+        order = np.argsort(ts, kind="stable")
+        ts_sorted = ts[order]
+        start, end = int(ts_sorted[0]), int(ts_sorted[-1])
+        width = int(frame_duration_ms * 1000)          # us
+
+        edges = np.arange(start, end + width, width, dtype=np.int64)
+        lo = np.searchsorted(ts_sorted, edges[:-1], side="left")
+        hi = np.searchsorted(ts_sorted, edges[1:], side="left")
+
+        frames = []
+        frame_id = 0
+        for k in range(len(lo)):
+            if hi[k] <= lo[k]:
+                continue       # reference skips empty windows (:171)
+            sel = order[lo[k]:hi[k]]
+            sensor_ids = radar["sensor_id"][sel]
+            groups = {int(sid): sel[sensor_ids == sid]
+                      for sid in np.unique(sensor_ids)}
+            frames.append({
+                "frame_id": frame_id,
+                "timestamp": int(edges[k]),
+                "frame_end_time": int(edges[k + 1]),
+                "sensor_indices": groups,     # row indices into radar arrays
+                "total_measurements": int(len(sel)),
+                "sensors": sorted(groups.keys()),
+            })
+            frame_id += 1
+        return frames
+
+    # ------------------------------------------------------------------
+    # Odometry lookup (radarscenes_loader.py:194-224)
+    # ------------------------------------------------------------------
+
+    def get_odometry_at_time(self, sequence_data: Dict,
+                             timestamp: int,
+                             max_gap_us: int = 1_000_000) -> Optional[Dict]:
+        odo = sequence_data["odometry_data"]
+        ts = odo["timestamp"]
+        i = int(np.searchsorted(ts, timestamp))
+        cands = [j for j in (i - 1, i) if 0 <= j < len(ts)]
+        if not cands:
+            return None
+        j = min(cands, key=lambda j: abs(int(ts[j]) - int(timestamp)))
+        if abs(int(ts[j]) - int(timestamp)) >= max_gap_us:
+            return None
+        return {
+            "timestamp": int(ts[j]),
+            "x": float(odo["x_seq"][j]),
+            "y": float(odo["y_seq"][j]),
+            "yaw": float(odo["yaw_seq"][j]),
+            "vx": float(odo["vx"][j]),
+            "yaw_rate": float(odo["yaw_rate"][j]),
+        }
+
+    # ------------------------------------------------------------------
+    # Scatterer conversion (radarscenes_loader.py:226-254)
+    # ------------------------------------------------------------------
+
+    def sensor_mount(self, sensor_id: int) -> Optional[Dict]:
+        """Mounting pose {x, y, yaw} for a sensor from sensors.json, if any."""
+        try:
+            for s in self.sensors_info.get("sensors", []):
+                if int(s.get("id", -1)) == sensor_id:
+                    return {"x": float(s.get("x", 0.0)),
+                            "y": float(s.get("y", 0.0)),
+                            "yaw": float(s.get("yaw", 0.0))}
+        except (TypeError, ValueError):
+            pass
+        return None
+
+    def convert_radar_to_scatterers(self, sequence_data: Dict, frame: Dict,
+                                    sensor_id: int,
+                                    apply_mounting: bool = True
+                                    ) -> Dict[str, np.ndarray]:
+        radar = sequence_data["radar_data"]
+        sel = frame["sensor_indices"].get(sensor_id)
+        if sel is None or len(sel) == 0:
+            return {k: np.zeros(0, np.float32) for k in SCATTERER_FIELDS}
+        out = {k: radar[k][sel].astype(np.float32) for k in SCATTERER_FIELDS}
+        if apply_mounting:
+            m = self.sensor_mount(sensor_id)
+            if m is not None and (m["x"] or m["y"] or m["yaw"]):
+                # Sensor-frame polar -> vehicle-frame polar.
+                az = out["azimuth_sc"] + m["yaw"]
+                x = m["x"] + out["range_sc"] * np.cos(az)
+                y = m["y"] + out["range_sc"] * np.sin(az)
+                out["range_sc"] = np.hypot(x, y).astype(np.float32)
+                out["azimuth_sc"] = np.arctan2(y, x).astype(np.float32)
+        return out
+
+    def frame_scatterer_batch(self, sequence_data: Dict, frame: Dict,
+                              max_scatterers: int,
+                              combine_sensors: bool = True) -> ScattererBatch:
+        """One frame's scatterers (all sensors merged) as a padded batch."""
+        import jax.numpy as jnp
+
+        cols = {k: [] for k in SCATTERER_FIELDS}
+        for sid in frame["sensors"]:
+            sc = self.convert_radar_to_scatterers(sequence_data, frame, sid)
+            for k in SCATTERER_FIELDS:
+                cols[k].append(sc[k])
+            if not combine_sensors:
+                break
+        cat = {k: (np.concatenate(v) if v else np.zeros(0, np.float32))
+               for k, v in cols.items()}
+        n = len(cat["range_sc"])
+        pad = max(max_scatterers - n, 0)
+
+        def p(x):
+            x = x[:max_scatterers]
+            return np.pad(x, (0, max(max_scatterers - len(x), 0)))
+
+        valid = np.zeros(max_scatterers, bool)
+        valid[:min(n, max_scatterers)] = True
+        return ScattererBatch(
+            range_m=jnp.asarray(p(cat["range_sc"])),
+            azimuth_rad=jnp.asarray(p(cat["azimuth_sc"])),
+            rcs_db=jnp.asarray(p(cat["rcs"])),
+            vr=jnp.asarray(p(cat["vr"])),
+            valid=jnp.asarray(valid),
+        )
+
+    def frames_as_batches(self, sequence_data: Dict, frames: List[Dict],
+                          max_scatterers: int):
+        """Stacked padded batches [F, S] + ground truth arrays.
+
+        Returns (ScattererBatch [F, S], gt dict with poses [F, 3],
+        velocities [F, 2] (vx, yaw_rate), timestamps_s [F], valid_gt [F])."""
+        import jax
+        import jax.numpy as jnp
+
+        per_frame = [self.frame_scatterer_batch(sequence_data, f,
+                                                max_scatterers)
+                     for f in frames]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+
+        t0 = frames[0]["timestamp"]
+        ts, poses, vels, ok = [], [], [], []
+        for f in frames:
+            ts.append((f["timestamp"] - t0) * 1e-6)
+            gt = self.get_odometry_at_time(sequence_data, f["timestamp"])
+            if gt is None:
+                poses.append([0.0, 0.0, 0.0]); vels.append([0.0, 0.0])
+                ok.append(False)
+            else:
+                poses.append([gt["x"], gt["y"], gt["yaw"]])
+                vels.append([gt["vx"], gt["yaw_rate"]])
+                ok.append(True)
+        gt_arrays = {
+            "poses": np.asarray(poses, np.float64),
+            "velocities": np.asarray(vels, np.float64),
+            "timestamps_s": np.asarray(ts, np.float64),
+            "valid": np.asarray(ok, bool),
+        }
+        return batched, gt_arrays
+
+    # ------------------------------------------------------------------
+    # Statistics (radarscenes_loader.py:324-395, analyze_radarscenes_dataset)
+    # ------------------------------------------------------------------
+
+    def sequence_statistics(self, sequence_data: Dict) -> Dict:
+        radar = sequence_data["radar_data"]
+        r = radar["range_sc"]
+        return {
+            "num_measurements": int(len(r)),
+            "range_min": float(np.min(r)) if len(r) else 0.0,
+            "range_max": float(np.max(r)) if len(r) else 0.0,
+            "range_mean": float(np.mean(r)) if len(r) else 0.0,
+            "rcs_mean": float(np.mean(radar["rcs"])) if len(r) else 0.0,
+            "vr_abs_mean": float(np.mean(np.abs(radar["vr"]))) if len(r) else 0.0,
+            "num_sensors": int(len(np.unique(radar["sensor_id"]))),
+            "odometry_records": int(len(sequence_data["odometry_data"]["timestamp"])),
+        }
+
+
+def load_radarscenes_sequence(dataset_path: str, sequence_id: str,
+                              frame_duration_ms: float = 100.0):
+    """Convenience entry (radarscenes_loader.py:397-410)."""
+    loader = RadarScenesLoader(dataset_path)
+    data = loader.load_sequence_data(sequence_id)
+    frames = loader.extract_radar_frames(data, frame_duration_ms)
+    return loader, data, frames
+
+
+def dataset_available(dataset_path: str) -> bool:
+    return (Path(dataset_path) / "data").exists()

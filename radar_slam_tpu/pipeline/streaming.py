@@ -1,0 +1,289 @@
+"""Streaming analysis + real-time runtime.
+
+Two layers:
+
+1. :class:`StreamingAnalyzer` -- parity with the reference's only *real*
+   end-to-end entry, ``CompleteRadarScenesAnalyzer``
+   (``results/ground_truth_comparison/radarscenes_complete_analysis.py:
+   36-351``): per-frame loop over a RadarScenes (or synthetic) sequence with
+   ground-truth comparison.  The per-frame compute is the single jitted
+   pipeline step (``pipeline.frame.process_scatterers``); the reference's
+   copy-GT-pose-when-no-estimate quirk (``:229-231``) is reproducible via
+   ``gt_fallback=True``.
+
+2. The real-time runtime -- parity with ``src/core/real_time_processor.py``:
+   :class:`FrameBuffer` (bounded deque + memory budget, ``:40-109``),
+   :class:`RealTimeProcessor` (background thread + bounded queue that drops
+   frames when full, rolling performance metrics, ``:177-417``), and
+   :class:`RealTimeVelocityEstimator` (``:419-505``).  Unlike the reference
+   -- whose processing loop emits random angles and zero velocities
+   (``:330-347, :485-493``) -- the worker runs the real jitted frame step.
+   The reference's thread/process pool over target chunks
+   (``ParallelTargetProcessor``, ``:111-175``) has no equivalent here by
+   design: targets are batched on-device, which is the TPU-native form of
+   that parallelism.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_slam_tpu.core.config import PipelineConfig
+from radar_slam_tpu.core.types import ScattererBatch
+from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+from radar_slam_tpu.pipeline import frame as frame_mod
+
+logger = logging.getLogger(__name__)
+
+
+class StreamingAnalyzer:
+    """Per-frame streaming ego-motion estimation with GT comparison."""
+
+    def __init__(self, cfg: PipelineConfig, gt_fallback: bool = False,
+                 rotate_pose: bool = True):
+        self.cfg = cfg
+        self.gt_fallback = gt_fallback
+        self.rotate_pose = rotate_pose
+        self.reset()
+
+    def reset(self, initial_pose: Optional[np.ndarray] = None):
+        init = (jnp.asarray(initial_pose, jnp.float32)
+                if initial_pose is not None else None)
+        self.state = frame_mod.init_state(self.cfg, init)
+        self.results: Dict[str, List] = collections.defaultdict(list)
+        self.frame_idx = 0
+
+    def process_frame(self, scatterers: ScattererBatch,
+                      gt_pose: Optional[np.ndarray] = None,
+                      gt_velocity: Optional[np.ndarray] = None,
+                      key: Optional[jax.Array] = None) -> Dict:
+        t0 = time.time()
+        key = key if key is not None else jax.random.key(self.frame_idx)
+        self.state, out = frame_mod.process_scatterers(
+            self.state, scatterers, key, self.cfg, self.rotate_pose)
+        success = bool(out.motion.success)
+        est_pose = np.asarray(out.pose)
+
+        if not success and self.gt_fallback and gt_pose is not None:
+            # radarscenes_complete_analysis.py:229-231 quirk.
+            est_pose = np.asarray(gt_pose, np.float64)
+            self.state = self.state._replace(
+                pose=jnp.asarray(est_pose, jnp.float32))
+
+        dt_s = time.time() - t0
+        r = self.results
+        r["processing_times"].append(dt_s)
+        r["estimated_trajectory"].append(est_pose)
+        r["velocity_estimates"].append(
+            np.concatenate([np.asarray(out.motion.velocity),
+                            np.asarray(out.motion.angular_velocity)]))
+        r["success"].append(success)
+        r["num_targets"].append(int(out.num_reliable))
+        r["num_associations"].append(int(out.num_associations))
+        if gt_pose is not None:
+            r["ground_truth_trajectory"].append(np.asarray(gt_pose))
+        if gt_velocity is not None:
+            r["ground_truth_velocities"].append(np.asarray(gt_velocity))
+        self.frame_idx += 1
+        return {"success": success, "pose": est_pose,
+                "velocity": r["velocity_estimates"][-1],
+                "processing_time": dt_s}
+
+    def analyze_sequence(self, batches: ScattererBatch,
+                         gt_poses: Optional[np.ndarray] = None,
+                         gt_velocities: Optional[np.ndarray] = None) -> Dict:
+        """Run over stacked frame batches [F, S] (host loop, jitted step)."""
+        F = batches.range_m.shape[0]
+        for i in range(F):
+            sc = jax.tree.map(lambda x: x[i], batches)
+            self.process_frame(
+                sc,
+                gt_pose=None if gt_poses is None else gt_poses[i],
+                gt_velocity=None if gt_velocities is None else gt_velocities[i])
+        return self.compute_error_metrics()
+
+    def compute_error_metrics(self) -> Dict:
+        """Position / yaw / velocity RMSE vs GT
+        (radarscenes_complete_analysis.py:307-351)."""
+        r = self.results
+        out: Dict = {
+            "frames_processed": self.frame_idx,
+            "successful_estimates": int(np.sum(r["success"])),
+            "mean_processing_time": float(np.mean(r["processing_times"]))
+            if r["processing_times"] else 0.0,
+        }
+        if r.get("ground_truth_trajectory"):
+            est = np.asarray(r["estimated_trajectory"])
+            gt = np.asarray(r["ground_truth_trajectory"])
+            vel_est = vel_gt = None
+            if r.get("ground_truth_velocities"):
+                vel_gt = np.asarray(r["ground_truth_velocities"])
+                vel_est = np.asarray(r["velocity_estimates"])[:, :vel_gt.shape[1]]
+            out.update(planar_pose_errors(est, gt, vel_est, vel_gt))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Real-time runtime (real_time_processor.py parity)
+# ---------------------------------------------------------------------------
+
+class FrameBuffer:
+    """Bounded frame history with a memory budget
+    (real_time_processor.py:40-109)."""
+
+    def __init__(self, max_frames: int = 100, max_memory_mb: float = 512.0):
+        self.max_frames = max_frames
+        self.max_memory_mb = max_memory_mb
+        self._frames: collections.deque = collections.deque(maxlen=max_frames)
+        self._lock = threading.Lock()
+        self.dropped = 0
+
+    @staticmethod
+    def _nbytes(frame) -> int:
+        total = 0
+        for leaf in jax.tree.leaves(frame):
+            total += getattr(leaf, "nbytes", 0)
+        return total
+
+    def add_frame(self, frame) -> None:
+        with self._lock:
+            self._frames.append(frame)
+            budget = self.max_memory_mb * 1e6
+            while (len(self._frames) > 1
+                   and sum(self._nbytes(f) for f in self._frames) > budget):
+                self._frames.popleft()
+                self.dropped += 1
+
+    def latest(self):
+        with self._lock:
+            return self._frames[-1] if self._frames else None
+
+    def __len__(self):
+        with self._lock:
+            return len(self._frames)
+
+
+class RealTimeProcessor:
+    """Background-thread streaming driver with backpressure
+    (real_time_processor.py:177-417); compute is the real jitted step."""
+
+    def __init__(self, cfg: PipelineConfig, queue_size: int = 8,
+                 buffer_frames: int = 100, metrics_window: int = 100):
+        self.cfg = cfg
+        self.analyzer = StreamingAnalyzer(cfg)
+        self.buffer = FrameBuffer(max_frames=buffer_frames)
+        self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self.processing_times: collections.deque = collections.deque(
+            maxlen=metrics_window)
+        self.frames_in = 0
+        self.frames_processed = 0
+        self.frames_dropped = 0
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self.latest_result: Optional[Dict] = None
+
+    def start_processing(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop_processing(self, timeout: float = 5.0) -> None:
+        self._running = False
+        if self._thread is not None:
+            self.queue.put(None)       # wake the worker
+            self._thread.join(timeout)
+            self._thread = None
+
+    def add_frame_for_processing(self, scatterers: ScattererBatch) -> bool:
+        """Enqueue a frame; drops when the queue is full
+        (real_time_processor.py:280-283)."""
+        self.frames_in += 1
+        try:
+            self.queue.put_nowait(scatterers)
+            return True
+        except queue.Full:
+            self.frames_dropped += 1
+            return False
+
+    def _loop(self) -> None:
+        while self._running:
+            try:
+                item = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is None:
+                break
+            t0 = time.time()
+            self.latest_result = self.analyzer.process_frame(item)
+            self.buffer.add_frame(item)
+            self.processing_times.append(time.time() - t0)
+            self.frames_processed += 1
+
+    def get_performance_metrics(self) -> Dict:
+        """Rolling metrics (real_time_processor.py:353-375)."""
+        times = list(self.processing_times)
+        return {
+            "frames_in": self.frames_in,
+            "frames_processed": self.frames_processed,
+            "frames_dropped": self.frames_dropped,
+            "buffer_size": len(self.buffer),
+            "avg_processing_time": float(np.mean(times)) if times else 0.0,
+            "max_processing_time": float(np.max(times)) if times else 0.0,
+            "throughput_fps": (1.0 / float(np.mean(times))
+                               if times and np.mean(times) > 0 else 0.0),
+        }
+
+    def get_system_status(self) -> Dict:
+        """psutil snapshot (real_time_processor.py:392-417), import-guarded."""
+        status: Dict = {"devices": [str(d) for d in jax.devices()]}
+        try:
+            import psutil
+            status.update({
+                "cpu_percent": psutil.cpu_percent(interval=None),
+                "memory_percent": psutil.virtual_memory().percent,
+                "disk_percent": psutil.disk_usage("/").percent,
+            })
+        except ImportError:
+            status["psutil"] = "unavailable"
+        return status
+
+
+class RealTimeVelocityEstimator:
+    """High-level streaming facade (real_time_processor.py:419-505)."""
+
+    def __init__(self, cfg: PipelineConfig, **kwargs):
+        self.processor = RealTimeProcessor(cfg, **kwargs)
+
+    def start_estimation(self) -> None:
+        self.processor.start_processing()
+
+    def stop_estimation(self) -> None:
+        self.processor.stop_processing()
+
+    def add_frame(self, scatterers: ScattererBatch) -> bool:
+        return self.processor.add_frame_for_processing(scatterers)
+
+    def get_latest_velocity_estimate(self) -> Optional[Dict]:
+        return self.processor.latest_result
+
+    def get_performance_metrics(self) -> Dict:
+        return self.processor.get_performance_metrics()
+
+
+def create_real_time_estimator(cfg: Optional[PipelineConfig] = None,
+                               **kwargs) -> RealTimeVelocityEstimator:
+    """Factory (real_time_processor.py:507-530)."""
+    from radar_slam_tpu.core.config import complete_analysis_config
+    return RealTimeVelocityEstimator(cfg or complete_analysis_config(),
+                                     **kwargs)
