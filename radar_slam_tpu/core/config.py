@@ -225,6 +225,11 @@ class PipelineConfig:
     # Slow-time window: the reference windows fast time only, leaving -13 dB
     # Doppler sidelobes that duplicate strong targets; we window both axes.
     doppler_window: Optional[str] = "hann"
+    # Route the dechirp and CFAR stages through the Pallas TPU kernels
+    # (ops/dechirp_pallas.py, ops/cfar_pallas.py) instead of the XLA path.
+    # Both are numerically identical; XLA already fuses these chains into the
+    # surrounding program, so it is the default.
+    use_pallas: bool = False
 
     @property
     def frame_dt(self) -> float:

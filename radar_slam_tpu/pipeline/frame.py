@@ -84,8 +84,10 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
     """One frame step from an ADC cube [A, C, S] (baseband domain)."""
     rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
                                  chirp_subset=cfg.chirp_subset,
-                                 doppler_window=cfg.doppler_window)
-    det = detect_peaks(rds, cfg.radar, cfg.detection)
+                                 doppler_window=cfg.doppler_window,
+                                 use_pallas=cfg.use_pallas)
+    det = detect_peaks(rds, cfg.radar, cfg.detection,
+                       use_pallas=cfg.use_pallas)
     targets, smoother = aoa_robust.process_targets_robust(
         rds, det, state.smoother, cfg.radar, cfg.aoa, method=cfg.aoa.method)
 

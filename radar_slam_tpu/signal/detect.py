@@ -63,43 +63,52 @@ def power_spectrum_db(rds: jax.Array) -> jax.Array:
     return 10.0 * jnp.log10(p + 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "det"))
+@functools.partial(jax.jit, static_argnames=("cfg", "det", "use_pallas"))
 def detect_peaks(rds: jax.Array, cfg: RadarConfig,
-                 det: DetectionConfig) -> Detections:
+                 det: DetectionConfig, use_pallas: bool = False) -> Detections:
     """Extract the top-K range-Doppler peaks from an RDS cube [A, R, D].
 
     Returns a masked static-shape :class:`Detections` (K = det.max_detections),
-    sorted by descending power.
+    sorted by descending power.  ``use_pallas`` routes the power/local-max/
+    CFAR stage through the fused Pallas kernel (ops/cfar_pallas.py).
     """
     K = det.max_detections
-    power_db = power_spectrum_db(rds)                       # [R, D]
-    R, D = power_db.shape
+    R, D = rds.shape[-2:]
 
-    # Local maxima (3x3 by default; dechirp.py:250-254).
-    is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
-
-    # Detection threshold: fixed dB level, optionally CFAR-relative.
-    if det.cfar_train_cells > 0:
-        train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
-        guard = 2 * det.guard_cells + 1
-        p_lin = 10.0 ** (power_db / 10.0)
-        noise = _box_mean2d(p_lin, train)
-        if det.guard_cells > 0:
-            # Exclude the guard+cell region from the training average.
-            g = _box_mean2d(p_lin, guard)
-            n_train = train * train
-            n_guard = guard * guard
-            noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
-        noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
-        thresh = jnp.maximum(noise_db + det.cfar_offset_db, det.threshold_db)
+    if use_pallas:
+        from radar_slam_tpu.ops.cfar_pallas import cfar_mask
+        power_db, pm = cfar_mask(
+            rds, threshold_db=det.threshold_db,
+            neighborhood=det.neighborhood, train=det.cfar_train_cells,
+            guard=det.guard_cells, offset_db=det.cfar_offset_db)
+        is_peak_above = pm
     else:
-        thresh = jnp.float32(det.threshold_db)
-    above = power_db > thresh
+        power_db = power_spectrum_db(rds)                   # [R, D]
+        # Local maxima (3x3 by default; dechirp.py:250-254).
+        is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
+        # Detection threshold: fixed dB level, optionally CFAR-relative.
+        if det.cfar_train_cells > 0:
+            train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
+            guard = 2 * det.guard_cells + 1
+            p_lin = 10.0 ** (power_db / 10.0)
+            noise = _box_mean2d(p_lin, train)
+            if det.guard_cells > 0:
+                # Exclude the guard+cell region from the training average.
+                g = _box_mean2d(p_lin, guard)
+                n_train = train * train
+                n_guard = guard * guard
+                noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
+            noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
+            thresh = jnp.maximum(noise_db + det.cfar_offset_db,
+                                 det.threshold_db)
+        else:
+            thresh = jnp.float32(det.threshold_db)
+        is_peak_above = is_peak & (power_db > thresh)
 
     # Range gate (dechirp.py:263).
     ranges = range_axis_m(cfg, R)                           # [R]
     gate = (ranges >= det.min_range) & (ranges <= det.max_range)
-    mask = is_peak & above & gate[:, None]
+    mask = is_peak_above & gate[:, None]
 
     # Top-K by power over the masked map (static shape).
     score = jnp.where(mask, power_db, -jnp.inf).reshape(-1)

@@ -60,14 +60,15 @@ def doppler_to_radial_velocity(doppler_hz: jax.Array, cfg: RadarConfig) -> jax.A
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "dc_removal", "input_domain",
-                     "chirp_subset", "doppler_window"))
+                     "chirp_subset", "doppler_window", "use_pallas"))
 def range_doppler_spectrum(signals: jax.Array,
                            cfg: RadarConfig,
                            window: str = "hann",
                            dc_removal: bool = True,
                            input_domain: str = "baseband",
                            chirp_subset: Optional[Tuple[int, int]] = None,
-                           doppler_window: Optional[str] = None) -> jax.Array:
+                           doppler_window: Optional[str] = None,
+                           use_pallas: bool = False) -> jax.Array:
     """Compute the RDS cube.
 
     Args:
@@ -102,9 +103,13 @@ def range_doppler_spectrum(signals: jax.Array,
     else:
         raise ValueError(f"Unknown input domain: {input_domain}")
 
-    x = signals * mix                                   # fused dechirp+window
-    if dc_removal:
-        x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if use_pallas:
+        from radar_slam_tpu.ops.dechirp_pallas import dechirp_window_dc
+        x = dechirp_window_dc(signals, mix, dc_removal)
+    else:
+        x = signals * mix                               # fused dechirp+window
+        if dc_removal:
+            x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     if doppler_window is not None:
         wd = get_window(doppler_window, x.shape[-2]).astype(jnp.float32)

@@ -1,0 +1,65 @@
+"""Pallas kernels vs jnp oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from radar_slam_tpu.ops import cfar_pallas, dechirp_pallas
+
+
+def rand_complex(key, shape, dtype=jnp.complex64):
+    kr, ki = jax.random.split(key)
+    return (jax.random.normal(kr, shape) +
+            1j * jax.random.normal(ki, shape)).astype(dtype)
+
+
+@pytest.mark.parametrize("dc", [True, False])
+def test_dechirp_kernel_matches_reference(dc):
+    sig = rand_complex(jax.random.key(0), (8, 32, 400))
+    mix = rand_complex(jax.random.key(1), (400,))
+    want = dechirp_pallas.dechirp_window_dc_reference(sig, mix, dc)
+    with pltpu.force_tpu_interpret_mode():
+        got = dechirp_pallas.dechirp_window_dc(sig, mix, dc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dechirp_kernel_odd_shapes():
+    sig = rand_complex(jax.random.key(2), (3, 5, 173))
+    mix = rand_complex(jax.random.key(3), (173,))
+    want = dechirp_pallas.dechirp_window_dc_reference(sig, mix, True)
+    with pltpu.force_tpu_interpret_mode():
+        got = dechirp_pallas.dechirp_window_dc(sig, mix, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def make_rds_with_peaks(key):
+    """A realistic RDS cube: noise + a few strong planted peaks."""
+    rds = 0.01 * rand_complex(key, (8, 400, 64))
+    for (r, d, a) in [(50, 10, 30.0), (200, 32, 100.0), (333, 50, 60.0)]:
+        rds = rds.at[:, r, d].add(a)
+        rds = rds.at[:, r + 1, d].add(0.4 * a)      # shoulder
+    return rds
+
+
+@pytest.mark.parametrize("train,guard", [(0, 0), (8, 2)])
+def test_cfar_kernel_matches_reference(train, guard):
+    rds = make_rds_with_peaks(jax.random.key(4))
+    want_pdb, want_mask = cfar_pallas.cfar_mask_reference(
+        rds, threshold_db=-25.0, neighborhood=3, train=train, guard=guard,
+        offset_db=12.0)
+    with pltpu.force_tpu_interpret_mode():
+        got_pdb, got_mask = cfar_pallas.cfar_mask(
+            rds, threshold_db=-25.0, neighborhood=3, train=train, guard=guard,
+            offset_db=12.0)
+    np.testing.assert_allclose(np.asarray(got_pdb), np.asarray(want_pdb),
+                               rtol=1e-4, atol=1e-4)
+    # Masks must agree except possibly where power sits within float noise
+    # of the threshold; require > 99.9% agreement and identical planted peaks.
+    agree = np.mean(np.asarray(got_mask) == np.asarray(want_mask))
+    assert agree > 0.999, agree
+    for (r, d, _a) in [(50, 10, 0), (200, 32, 0), (333, 50, 0)]:
+        assert bool(got_mask[r, d]) and bool(want_mask[r, d])
