@@ -1,0 +1,303 @@
+"""Command-line interface: one entry point with subcommands replacing the
+reference's per-module ``argparse`` mains (``simulate_raw.py:338``,
+``dechirp.py:358``, ``run_ego_motion_pipeline.py:447``,
+``radarscenes_complete_analysis.py:494``,
+``quick_ground_truth_comparison.py``, ``analyze_data.py``,
+``visualize_results.py``).
+
+    python -m radar_slam_tpu simulate   --seq ... --out ...
+    python -m radar_slam_tpu process    --raw ... --out ...
+    python -m radar_slam_tpu pipeline   --out ... [--dataset --seq | --synthetic]
+    python -m radar_slam_tpu analyze    --dataset ... --seq ... [--max-frames N]
+    python -m radar_slam_tpu quick-compare [--frames N]
+    python -m radar_slam_tpu visualize  --run-dir ...
+    python -m radar_slam_tpu bench
+
+``quick-compare`` is the honest re-implementation of the reference's
+"quick ground truth comparison": the reference *simulates* its estimates by
+adding noise to GT odometry (quick_ground_truth_comparison.py:85-97 --
+the source of its headline numbers); ours runs the real pipeline on a
+10-frame workload and reports real errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cfg_from_args(args):
+    from radar_slam_tpu.core.config import (complete_analysis_config,
+                                            default_config)
+    cfg = (complete_analysis_config() if getattr(args, "fast", True)
+           else default_config())
+    if getattr(args, "num_chirps", None):
+        cfg = dataclasses.replace(
+            cfg, radar=dataclasses.replace(cfg.radar,
+                                           num_chirps=args.num_chirps))
+    return cfg
+
+
+def _synthetic_scene(cfg, frames: int, seed: int = 7):
+    import jax
+    from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+    return constant_motion_scene(
+        jax.random.key(seed), num_frames=frames, dt=cfg.frame_dt,
+        v_body=(8.0, 0.5), yaw_rate=0.05,
+        scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
+
+
+def _load_dataset_frames(args, cfg):
+    from radar_slam_tpu.io.radarscenes import RadarScenesLoader
+    loader = RadarScenesLoader(args.dataset)
+    data = loader.load_sequence_data(args.seq)
+    frames = loader.extract_radar_frames(data, cfg.frame_duration_ms)
+    if args.max_frames:
+        frames = frames[:args.max_frames]
+    return loader.frames_as_batches(data, frames, cfg.max_scatterers)
+
+
+def cmd_simulate(args) -> int:
+    """Synthesize raw frames to .npy artifacts (simulate_raw.py parity)."""
+    import jax
+    from radar_slam_tpu.io import artifacts
+    from radar_slam_tpu.signal.synth import synthesize_frames_batch
+
+    cfg = _cfg_from_args(args)
+    if args.dataset:
+        batches, gt = _load_dataset_frames(args, cfg)
+    else:
+        batches, gt = _synthetic_scene(cfg, args.max_frames or 16)
+    signals = synthesize_frames_batch(batches, cfg.radar, jax.random.key(0))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    for i in range(signals.shape[0]):
+        artifacts.save_raw_frame(out, i, signals[i])
+    artifacts.save_synthesis_metadata(
+        out, cfg.radar, {"processed_frames": int(signals.shape[0])})
+    print(f"wrote {signals.shape[0]} frames to {out}")
+    return 0
+
+
+def cmd_process(args) -> int:
+    """RDS + peaks for saved raw frames (dechirp.py __main__ parity)."""
+    import jax
+    import jax.numpy as jnp
+    from radar_slam_tpu.io import artifacts
+    from radar_slam_tpu.signal.detect import detect_peaks
+    from radar_slam_tpu.signal.rds import range_doppler_spectrum
+
+    cfg = _cfg_from_args(args)
+    raw_dir = Path(args.raw)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    files = sorted(raw_dir.glob("frame_*.npy"))
+    subset = (args.chirp_start, args.chirp_end) \
+        if args.chirp_start is not None else None
+    for i, f in enumerate(files):
+        sig = jnp.asarray(np.load(f))
+        rds = range_doppler_spectrum(sig, cfg.radar, chirp_subset=subset,
+                                     doppler_window=cfg.doppler_window)
+        det = detect_peaks(rds, cfg.radar, cfg.detection)
+        artifacts.save_rds_frame(out, i, rds, det)
+    print(f"processed {len(files)} frames -> {out}")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """Six-step artifact pipeline (run_ego_motion_pipeline.py parity)."""
+    from radar_slam_tpu.pipeline.pipeline import EgoMotionPipeline
+
+    cfg = _cfg_from_args(args)
+    if args.dataset:
+        batches, gt = _load_dataset_frames(args, cfg)
+        gt_vel = None
+    else:
+        batches, gt = _synthetic_scene(cfg, args.max_frames or 16)
+        F = batches.range_m.shape[0]
+        gt_vel = np.zeros((F, 6))
+        gt_vel[:, :2] = np.asarray(gt["velocity_body"])[:2]
+        gt_vel[:, 5] = float(gt["yaw_rate"])
+    pipe = EgoMotionPipeline(cfg, args.out)
+    res = pipe.run_complete_pipeline(batches, gt_velocities=gt_vel)
+    print(json.dumps({"step_times": res["step_times"]}, indent=2))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Streaming analysis with GT comparison
+    (radarscenes_complete_analysis.py parity)."""
+    from radar_slam_tpu.pipeline.streaming import StreamingAnalyzer
+    from radar_slam_tpu.viz.plots import comprehensive_overview
+
+    cfg = _cfg_from_args(args)
+    if args.dataset:
+        batches, gt = _load_dataset_frames(args, cfg)
+        gt_poses = gt["poses"]
+        gt_vels = None
+    else:
+        batches, gt = _synthetic_scene(cfg, args.max_frames or 10)
+        gt_poses = np.asarray(gt["poses"])
+        gt_vels = None
+    an = StreamingAnalyzer(cfg, gt_fallback=args.gt_fallback)
+    metrics = an.analyze_sequence(batches, gt_poses=gt_poses,
+                                  gt_velocities=gt_vels)
+    print(json.dumps(metrics, indent=2, default=float))
+    if args.out:
+        Path(args.out).mkdir(parents=True, exist_ok=True)
+        comprehensive_overview(an.results,
+                               Path(args.out) / "complete_analysis.png")
+        with open(Path(args.out) / "analysis_results.json", "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+    return 0
+
+
+def cmd_quick_compare(args) -> int:
+    """Honest quick comparison: run the REAL pipeline on a short workload."""
+    import jax
+    from radar_slam_tpu.pipeline import frame as pipe_mod
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+
+    cfg = _cfg_from_args(args)
+    frames = args.frames
+    batches, gt = _synthetic_scene(cfg, frames)
+    t0 = time.time()
+    out = pipe_mod.process_sequence(batches, jax.random.key(0), cfg)
+    jax.block_until_ready(out)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    out = pipe_mod.process_sequence(batches, jax.random.key(0), cfg)
+    jax.block_until_ready(out)
+    steady = time.time() - t0
+
+    m = planar_pose_errors(np.asarray(out.pose), np.asarray(gt["poses"]))
+    result = {
+        "frames": frames,
+        "position_rmse_m": m["position_rmse"],
+        "yaw_rmse_rad": m["yaw_rmse"],
+        "velocity_rmse_mps": float(np.sqrt(np.mean(
+            (np.asarray(out.motion.velocity)[1:, 0]
+             - float(gt["velocity_body"][0])) ** 2))),
+        "processing_time_s": steady,
+        "compile_time_s": compile_and_run - steady,
+        "reference_bounds": {"position_rmse_m": 0.777,
+                             "yaw_rmse_rad": 0.466,
+                             "quick_time_10_frames_s": 0.20},
+    }
+    print(json.dumps(result, indent=2))
+    ok = (m["position_rmse"] <= 0.777 and m["yaw_rmse"] <= 0.466)
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_visualize(args) -> int:
+    """Plot artifacts from a pipeline run directory
+    (visualize_results.py parity)."""
+    from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.io import artifacts
+    from radar_slam_tpu.viz import plots
+
+    run = Path(args.run_dir)
+    out = Path(args.out or run / "visualizations")
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = complete_analysis_config()
+    made = []
+    raw = sorted((run / "raw_sim").glob("frame_*.npy"))
+    if raw:
+        made.append(plots.plot_raw_signals(np.load(raw[0]),
+                                           out / "raw_signals.png"))
+    rds_files = sorted((run / "rds").glob("frame_*_rds.npy"))
+    if rds_files:
+        rds, peaks = artifacts.load_rds_frame(run / "rds", 0)
+        made.append(plots.plot_rds(rds, cfg.radar, out / "rds.png",
+                                   detections=peaks))
+    traj_file = run / "poses" / "trajectory.npz"
+    if traj_file.exists():
+        traj = artifacts.load_trajectory(run / "poses")
+        made.append(plots.plot_trajectory(traj["positions"],
+                                          out / "trajectory.png",
+                                          orientations=traj["orientations"]))
+        made.append(plots.plot_velocity_profile(
+            traj["timestamps"],
+            np.concatenate([traj["velocities"],
+                            traj["angular_velocities"]], axis=1),
+            out / "velocities.png"))
+    print(f"wrote {len(made)} figures to {out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).resolve().parents[2] / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="radar_slam_tpu",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, dataset=True):
+        sp.add_argument("--max-frames", type=int, default=None)
+        sp.add_argument("--num-chirps", type=int, default=None)
+        sp.add_argument("--fast", action="store_true", default=True)
+        if dataset:
+            sp.add_argument("--dataset", default=None,
+                            help="RadarScenes root (synthetic scene if unset)")
+            sp.add_argument("--seq", default="sequence_125")
+
+    sp = sub.add_parser("simulate", help="synthesize raw FMCW frames")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("process", help="RDS + peak extraction")
+    sp.add_argument("--raw", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--chirp-start", type=int, default=None)
+    sp.add_argument("--chirp-end", type=int, default=None)
+    sp.add_argument("--num-chirps", type=int, default=None)
+    sp.set_defaults(fn=cmd_process)
+
+    sp = sub.add_parser("pipeline", help="full six-step pipeline")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_pipeline)
+
+    sp = sub.add_parser("analyze", help="streaming analysis + GT comparison")
+    common(sp)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--gt-fallback", action="store_true")
+    sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("quick-compare",
+                        help="honest quick benchmark (real pipeline)")
+    sp.add_argument("--frames", type=int, default=10)
+    sp.add_argument("--num-chirps", type=int, default=None)
+    sp.set_defaults(fn=cmd_quick_compare)
+
+    sp = sub.add_parser("visualize", help="plot pipeline artifacts")
+    sp.add_argument("--run-dir", required=True)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_visualize)
+
+    sp = sub.add_parser("bench", help="run the benchmark")
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,98 @@
+"""CLI subcommands, visualization, analysis, profiling, checkpointing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_slam_tpu.pipeline.cli import main as cli_main
+from radar_slam_tpu.utils import checkpointing, profiling
+from radar_slam_tpu.viz import analyze
+
+
+def test_cli_quick_compare(capsys):
+    rc = cli_main(["quick-compare", "--frames", "8"])
+    out = capsys.readouterr().out
+    assert "PARITY: PASS" in out
+    assert rc == 0
+    payload = json.loads(out[:out.rindex("}") + 1])
+    assert payload["position_rmse_m"] <= 0.777
+    assert payload["yaw_rmse_rad"] <= 0.466
+
+
+def test_cli_simulate_process_visualize(tmp_path, capsys):
+    raw = tmp_path / "raw"
+    rc = cli_main(["simulate", "--out", str(raw), "--max-frames", "2"])
+    assert rc == 0
+    assert (raw / "frame_0001.npy").exists()
+    rds = tmp_path / "rds"
+    rc = cli_main(["process", "--raw", str(raw), "--out", str(rds)])
+    assert rc == 0
+    assert (rds / "frame_0001_rds.npy").exists()
+
+
+def test_cli_analyze(tmp_path, capsys):
+    rc = cli_main(["analyze", "--max-frames", "6", "--out", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "complete_analysis.png").exists()
+    out = capsys.readouterr().out
+    m = json.loads(out[:out.rindex("}") + 1])
+    assert m["frames_processed"] == 6
+
+
+def test_cli_pipeline_and_visualize(tmp_path, capsys):
+    run = tmp_path / "run"
+    rc = cli_main(["pipeline", "--out", str(run), "--max-frames", "4"])
+    assert rc == 0
+    rc = cli_main(["visualize", "--run-dir", str(run)])
+    assert rc == 0
+    viz = run / "visualizations"
+    assert (viz / "rds.png").exists()
+    assert (viz / "trajectory.png").exists()
+
+
+def test_analyze_detections():
+    det = {
+        "range_m": np.array([10.0, 50.0, 20.0, 0.0]),
+        "doppler_hz": np.array([100.0, -200.0, 0.0, 0.0]),
+        "vr_mps": np.array([2.0, -3.0, 0.1, 0.0]),
+        "power_db": np.array([5.0, -3.0, 0.0, 0.0]),
+        "valid": np.array([True, True, True, False]),
+    }
+    stats = analyze.analyze_detections(det)
+    assert stats["num_detections"] == 3
+    assert stats["near_targets"] == 2 and stats["far_targets"] == 1
+    assert stats["moving_targets"] == 2 and stats["stationary_targets"] == 1
+    seq = analyze.analyze_sequence_detections([det, det])
+    assert seq["total_detections"] == 6
+
+
+def test_stage_timer_and_benchmark():
+    timer = profiling.StageTimer()
+    with timer.section("work"):
+        _ = jnp.sum(jnp.ones(100)).block_until_ready()
+    timer.record("manual", 0.5)
+    s = timer.stats()
+    assert s["work"]["count"] == 1 and s["manual"]["mean_s"] == 0.5
+    r = profiling.benchmark(lambda x: x * 2, jnp.ones(8), reps=2)
+    assert r["mean_s"] >= 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.pipeline.frame import init_state
+    cfg = complete_analysis_config()
+    state = init_state(cfg)
+    state = state._replace(pose=jnp.array([1.0, 2.0, 0.3]))
+    p = checkpointing.save_pytree(tmp_path / "state_0001", state, step=17)
+    assert p.exists()
+    template = init_state(cfg)
+    restored, step = checkpointing.load_pytree(tmp_path / "state_0001",
+                                               template)
+    assert step == 17
+    np.testing.assert_allclose(np.asarray(restored.pose), [1.0, 2.0, 0.3])
+    latest = checkpointing.latest_checkpoint(tmp_path)
+    assert latest is not None and latest.name == "state_0001.npz"
