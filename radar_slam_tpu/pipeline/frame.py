@@ -170,3 +170,100 @@ def process_signal_sequence(signals: jax.Array, cfg: PipelineConfig,
 
     _, outputs = jax.lax.scan(step, state, signals)
     return outputs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
+                             cfg: PipelineConfig,
+                             rotate_pose: bool = True) -> FrameOutput:
+    """Throughput-oriented sequence driver: two-phase split.
+
+    The per-frame chain is mostly frame-independent; only the temporal
+    smoother, association, temporal prior and pose are sequential.  Phase A
+    vmaps the heavy stages (synthesis, RDS, detection, signatures, angles,
+    confidence, MDL) over ALL frames at once -- large batched FFTs/matmuls/
+    eigh instead of a serialized scan -- and phase B scans only the tiny
+    state machine.  Semantics match :func:`process_sequence` exactly (the
+    smoother consumes the same raw angles); results differ only by float
+    reassociation.
+    """
+    from radar_slam_tpu.aoa import confidence as conf_mod
+    from radar_slam_tpu.aoa import estimators
+    from radar_slam_tpu.signal.detect import extract_spatial_signatures
+
+    F = scatterers.range_m.shape[0]
+    keys = jax.random.split(key, F)
+    D = cfg.radar.num_chirps if cfg.chirp_subset is None else (
+        cfg.chirp_subset[1] - cfg.chirp_subset[0])
+
+    # ---- phase A: batched per-frame heavy compute -------------------------
+    def heavy(sc, k):
+        sig = synthesize_frame(sc, cfg.radar, k)
+        rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
+                                     chirp_subset=cfg.chirp_subset,
+                                     doppler_window=cfg.doppler_window,
+                                     use_pallas=cfg.use_pallas)
+        det = detect_peaks(rds, cfg.radar, cfg.detection,
+                           use_pallas=cfg.use_pallas)
+        sigs = extract_spatial_signatures(rds, det)
+        K = det.range_bin.shape[0]
+        keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
+                & (jnp.arange(K) < cfg.aoa.max_targets))
+        R = estimators.signature_covariances(sigs)
+        eigvals, _ = estimators.eigendecompose(R)
+        num_sources, is_multi, _ = conf_mod.mdl_model_order(eigvals)
+        angles_deg, _ = estimators.estimate_angles(
+            sigs, cfg.radar, cfg.aoa, method=cfg.aoa.method,
+            num_sources=num_sources)
+        conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar)
+        return det, sigs, keep, num_sources, is_multi, angles_deg, conf
+
+    det, sigs, keep, num_sources, is_multi, angles_deg, conf = jax.vmap(
+        heavy)(scatterers, keys)
+
+    # ---- phase B: sequential state machine (smoother/assoc/solve/pose) ----
+    state = init_state(cfg)
+
+    def light(st: FrameState, inp):
+        det_i, sigs_i, keep_i, ns_i, multi_i, ang_i, conf_i = inp
+        det_keys = det_i.range_bin * D + det_i.doppler_bin
+        sm, ang_i, conf_i = smoothing.update(
+            st.smoother, det_keys, ang_i, conf_i, keep_i, cfg.aoa)
+        reliable = keep_i & (conf_i >= cfg.aoa.confidence_threshold) & ~multi_i
+        targets = Targets(
+            range_bin=det_i.range_bin, doppler_bin=det_i.doppler_bin,
+            range_m=det_i.range_m, doppler_hz=det_i.doppler_hz,
+            vr_mps=det_i.vr_mps, power_db=det_i.power_db,
+            azimuth_rad=jnp.deg2rad(ang_i), confidence=conf_i,
+            num_sources=ns_i, is_multipath=multi_i, is_reliable=reliable,
+            spatial_signature=sigs_i, valid=keep_i)
+
+        assoc = associate_targets(targets, st.prev_targets, cfg.frame_dt,
+                                  cfg.velocity)
+        assoc = assoc._replace(valid=assoc.valid & st.prev_valid)
+        motion = solve_velocity(assoc, jnp.float32(cfg.frame_dt),
+                                cfg.radar.lambda_c, cfg.velocity,
+                                prev_motion=st.prev_motion)
+        pose = jnp.where(
+            motion.success,
+            planar_pose_step(st.pose, motion.velocity,
+                             motion.angular_velocity[2],
+                             jnp.float32(cfg.frame_dt), rotate_pose),
+            st.pose)
+        new_state = FrameState(
+            smoother=sm, prev_targets=targets,
+            prev_valid=targets.num_valid > 0,
+            prev_motion=jnp.where(motion.success, motion.params,
+                                  st.prev_motion),
+            pose=pose)
+        out = FrameOutput(
+            motion=motion, pose=pose,
+            num_detections=det_i.num_valid.astype(jnp.int32),
+            num_reliable=jnp.sum(reliable).astype(jnp.int32),
+            num_associations=assoc.num_valid.astype(jnp.int32))
+        return new_state, out
+
+    _, outputs = jax.lax.scan(
+        light, state,
+        (det, sigs, keep, num_sources, is_multi, angles_deg, conf))
+    return outputs
