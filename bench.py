@@ -32,7 +32,7 @@ def main():
     cfg = complete_analysis_config()
     n_frames = 64
     batches, gt = constant_motion_scene(
-        jax.random.key(7), num_frames=n_frames, dt=cfg.frame_dt,
+        7, num_frames=n_frames, dt=cfg.frame_dt,
         v_body=(8.0, 0.5), yaw_rate=0.05,
         scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
     jax.block_until_ready(batches)

@@ -7,12 +7,19 @@ a static world point cloud is observed by an ego vehicle moving with a known
 6-DoF motion profile, producing per-frame :class:`ScattererBatch` inputs with
 physically consistent ranges, azimuths and radial velocities -- so velocity /
 trajectory recovery can be hard-asserted against truth.
+
+All generation runs in host numpy (this is loader-side code; the device
+first sees data as one uploaded batch).  Keeping it off the device also
+matters practically: the axon TPU backend used in this container mishandles
+eager-mode ops and some host transfers (see ``utils/host.py``), so
+generator code must not run eager jnp.  ``jax.random`` keys are accepted for
+API convenience and reduced to host seeds without touching the device.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Dict, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +27,26 @@ import numpy as np
 
 from radar_slam_tpu.core.config import PipelineConfig
 from radar_slam_tpu.core.types import ScattererBatch
+
+SeedLike = Union[int, np.integer, jax.Array]
+
+
+def _rng(seed: SeedLike) -> np.random.Generator:
+    if isinstance(seed, (int, np.integer)):
+        return np.random.default_rng(int(seed))
+    # jax PRNG key: only safe to read back on CPU -- the axon TPU backend
+    # hangs on host transfers of eager arrays (even repr would hang), so
+    # device-resident keys are rejected with a clear message.
+    if isinstance(seed, jax.Array):
+        platforms = {d.platform for d in seed.devices()}
+        if platforms <= {"cpu"}:
+            data = jax.random.key_data(seed)
+            seed_int = int(np.asarray(data).sum()) & 0x7FFFFFFF
+            return np.random.default_rng(seed_int)
+        raise ValueError(
+            "scene generators run on the host: pass an int seed instead of "
+            f"a device-resident PRNG key (key lives on {sorted(platforms)})")
+    return np.random.default_rng(abs(hash(seed)) & 0x7FFFFFFF)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,81 +65,88 @@ class SceneConfig:
     max_scatterers: int = 512
 
 
-def make_world_points(key: jax.Array, scene: SceneConfig
-                      ) -> Tuple[jax.Array, jax.Array]:
+def make_world_points(seed: SeedLike, scene: SceneConfig
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Random static world points [N, 2] (x, y) and RCS [N] around origin."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    r = jax.random.uniform(k1, (scene.num_points,),
-                           minval=scene.min_range, maxval=scene.max_range)
-    az = jax.random.uniform(k2, (scene.num_points,),
-                            minval=-scene.azimuth_span_rad / 2,
-                            maxval=scene.azimuth_span_rad / 2)
-    rcs = jax.random.uniform(k3, (scene.num_points,),
-                             minval=scene.rcs_min_db, maxval=scene.rcs_max_db)
-    pts = jnp.stack([r * jnp.cos(az), r * jnp.sin(az)], axis=-1)
-    return pts, rcs
+    rng = _rng(seed)
+    r = rng.uniform(scene.min_range, scene.max_range, scene.num_points)
+    az = rng.uniform(-scene.azimuth_span_rad / 2, scene.azimuth_span_rad / 2,
+                     scene.num_points)
+    rcs = rng.uniform(scene.rcs_min_db, scene.rcs_max_db, scene.num_points)
+    pts = np.stack([r * np.cos(az), r * np.sin(az)], axis=-1)
+    return pts.astype(np.float32), rcs.astype(np.float32)
 
 
-def observe_points(world_xy: jax.Array, rcs_db: jax.Array,
-                   ego_xy: jax.Array, ego_yaw: jax.Array,
-                   v_body: jax.Array, yaw_rate: jax.Array,
-                   max_scatterers: int,
-                   max_range: float = 1e9,
-                   min_range: float = 1.5,
-                   fov_rad: float = 2.4) -> ScattererBatch:
-    """Project static world points into the ego body frame at one instant.
-
-    Radial velocity is the physical range rate of a static point seen from a
-    moving ego:  vr = -d_b . v_body  (the rotation term contributes nothing
-    radially for a colocated sensor -- r x d = 0 when r is parallel to d;
-    this is why single-sensor Doppler cannot observe yaw rate, see
-    motion/velocity.py docstring)."""
-    c, s = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
-    rel = world_xy - ego_xy[None, :]
-    # world -> body: R(-yaw)
-    xb = c * rel[:, 0] + s * rel[:, 1]
-    yb = -s * rel[:, 0] + c * rel[:, 1]
-    rng = jnp.sqrt(xb * xb + yb * yb)
-    az = jnp.arctan2(yb, xb)
-    d = jnp.stack([xb, yb], axis=-1) / jnp.maximum(rng[:, None], 1e-6)
-    vr = -(d[:, 0] * v_body[0] + d[:, 1] * v_body[1])
-
-    n = world_xy.shape[0]
-    pad = max_scatterers - n
-    assert pad >= 0, "max_scatterers smaller than point count"
-    z = lambda x, fill=0.0: jnp.concatenate(
-        [x, jnp.full((pad,), fill, x.dtype)]) if pad else x
-    observable = ((rng <= max_range) & (rng >= min_range)
-                  & (jnp.abs(az) <= fov_rad / 2))
-    valid = jnp.concatenate([observable, jnp.zeros((pad,), bool)]) \
-        if pad else observable
-    return ScattererBatch(
-        range_m=z(rng.astype(jnp.float32)),
-        azimuth_rad=z(az.astype(jnp.float32)),
-        rcs_db=z(rcs_db.astype(jnp.float32)),
-        vr=z(vr.astype(jnp.float32)),
-        valid=valid,
-    )
-
-
-def corridor_points(key: jax.Array, scene: SceneConfig, path_xy: jax.Array,
-                    lateral: float = 30.0) -> Tuple[jax.Array, jax.Array]:
+def corridor_points(seed: SeedLike, scene: SceneConfig, path_xy: np.ndarray,
+                    lateral: float = 30.0) -> Tuple[np.ndarray, np.ndarray]:
     """Scatter points around an ego path so targets stay in view for the
     whole sequence: each point is offset laterally + longitudinally from a
     random path sample."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    rng = _rng(seed)
     n = scene.num_points
-    t = jax.random.uniform(k1, (n,), minval=0.0, maxval=1.0)
-    idx = (t * (path_xy.shape[0] - 1)).astype(jnp.int32)
-    base = path_xy[idx]
-    offs = jax.random.uniform(k2, (n, 2), minval=-1.0, maxval=1.0) \
-        * jnp.array([scene.max_range * 0.8, lateral])
-    rcs = jax.random.uniform(k3, (n,), minval=scene.rcs_min_db,
-                             maxval=scene.rcs_max_db)
-    return base + offs, rcs
+    idx = rng.integers(0, len(path_xy), n)
+    base = np.asarray(path_xy)[idx]
+    offs = rng.uniform(-1.0, 1.0, (n, 2)) * np.array(
+        [scene.max_range * 0.8, lateral])
+    rcs = rng.uniform(scene.rcs_min_db, scene.rcs_max_db, n)
+    return (base + offs).astype(np.float32), rcs.astype(np.float32)
 
 
-def constant_motion_scene(key: jax.Array, num_frames: int, dt: float,
+def observe_points(world_xy: np.ndarray, rcs_db: np.ndarray,
+                   ego_xy: np.ndarray, ego_yaw: float,
+                   v_body: np.ndarray, yaw_rate: float,
+                   max_scatterers: int,
+                   max_range: float = 1e9,
+                   min_range: float = 1.5,
+                   fov_rad: float = 2.4) -> Dict[str, np.ndarray]:
+    """Project static world points into the ego body frame at one instant.
+
+    Radial velocity is the physical range rate of a static point seen from a
+    moving ego:  vr = -d_b . v_body  (rotation contributes nothing radially
+    for a colocated sensor -- r x d = 0 when r is parallel to d; this is why
+    single-sensor Doppler cannot observe yaw rate, see motion/velocity.py).
+
+    Returns plain numpy columns (range_m, azimuth_rad, rcs_db, vr, valid)
+    padded to ``max_scatterers``.
+    """
+    world_xy = np.asarray(world_xy, np.float64)
+    c, s = np.cos(ego_yaw), np.sin(ego_yaw)
+    rel = world_xy - np.asarray(ego_xy)[None, :]
+    xb = c * rel[:, 0] + s * rel[:, 1]
+    yb = -s * rel[:, 0] + c * rel[:, 1]
+    rng_m = np.hypot(xb, yb)
+    az = np.arctan2(yb, xb)
+    d = np.stack([xb, yb], axis=-1) / np.maximum(rng_m[:, None], 1e-6)
+    vr = -(d[:, 0] * v_body[0] + d[:, 1] * v_body[1])
+
+    n = len(world_xy)
+    assert max_scatterers >= n, "max_scatterers smaller than point count"
+    pad = max_scatterers - n
+
+    def z(x):
+        return np.pad(np.asarray(x, np.float32), (0, pad))
+
+    observable = ((rng_m <= max_range) & (rng_m >= min_range)
+                  & (np.abs(az) <= fov_rad / 2))
+    return {
+        "range_m": z(rng_m), "azimuth_rad": z(az), "rcs_db": z(rcs_db),
+        "vr": z(vr),
+        "valid": np.pad(observable, (0, pad)),
+    }
+
+
+def _to_device_batch(frames) -> ScattererBatch:
+    stack = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    return ScattererBatch(
+        range_m=jnp.asarray(stack["range_m"]),
+        azimuth_rad=jnp.asarray(stack["azimuth_rad"]),
+        rcs_db=jnp.asarray(stack["rcs_db"]),
+        vr=jnp.asarray(stack["vr"]),
+        valid=jnp.asarray(stack["valid"]),
+    )
+
+
+def constant_motion_scene(seed: SeedLike, num_frames: int, dt: float,
                           v_body: Tuple[float, float],
                           yaw_rate: float,
                           scene: SceneConfig = SceneConfig()):
@@ -121,44 +155,35 @@ def constant_motion_scene(key: jax.Array, num_frames: int, dt: float,
     Points are distributed along the ego's path (corridor) so the scene
     stays observable over arbitrarily long sequences.
 
-    Returns (scatterer_batches stacked [F, S], gt) where gt is a dict of
-    ego poses [F, 3] (x, y, yaw) and body velocities."""
-    # Pre-compute the exact path to seed the corridor point distribution.
-    kw, key = jax.random.split(key)
-    yaws = jnp.float32(yaw_rate) * dt * jnp.arange(num_frames + 1)
-    vb0 = jnp.array([v_body[0], v_body[1]], jnp.float32)
-    c, s = jnp.cos(yaws[:-1]), jnp.sin(yaws[:-1])
-    steps = jnp.stack([c * vb0[0] - s * vb0[1],
-                       s * vb0[0] + c * vb0[1]], axis=-1) * dt
-    path = jnp.concatenate([jnp.zeros((1, 2)), jnp.cumsum(steps, axis=0)])
-    world, rcs = corridor_points(kw, scene, path)
-    vb = jnp.array([v_body[0], v_body[1]], jnp.float32)
-    w = jnp.float32(yaw_rate)
+    Returns (ScattererBatch stacked [F, S] on device, gt dict of HOST numpy
+    arrays: poses [F, 3] (x, y, yaw), velocity_body [3], yaw_rate,
+    timestamps [F])."""
+    vb = np.array([v_body[0], v_body[1]], np.float64)
+    w = float(yaw_rate)
 
-    poses = []
-    x = jnp.zeros(2)
-    yaw = jnp.float32(0.0)
+    # Exact constant-twist path.
+    yaws = w * dt * np.arange(num_frames + 1)
+    c, s = np.cos(yaws[:-1]), np.sin(yaws[:-1])
+    steps = np.stack([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1]],
+                     axis=-1) * dt
+    path = np.concatenate([np.zeros((1, 2)), np.cumsum(steps, axis=0)])
+
+    world, rcs = corridor_points(seed, scene, path)
+
     frames = []
-    for _ in range(num_frames):
-        poses.append(jnp.concatenate([x, yaw[None]]))
-        frames.append(observe_points(world, rcs, x, yaw, vb, w,
-                                     scene.max_scatterers,
-                                     max_range=scene.max_range,
-                                     fov_rad=scene.fov_rad))
-        # exact constant-twist integration
-        c, s = jnp.cos(yaw), jnp.sin(yaw)
-        v_world = jnp.stack([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1]])
-        x = x + v_world * dt
-        yaw = yaw + w * dt
+    for i in range(num_frames):
+        frames.append(observe_points(
+            world, rcs, path[i], yaws[i], vb, w, scene.max_scatterers,
+            max_range=scene.max_range, fov_rad=scene.fov_rad))
 
-    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
     gt = {
-        "poses": jnp.stack(poses),                       # [F, 3] x, y, yaw
-        "velocity_body": jnp.array([v_body[0], v_body[1], 0.0]),
-        "yaw_rate": jnp.float32(yaw_rate),
-        "timestamps": jnp.arange(num_frames, dtype=jnp.float32) * dt,
+        "poses": np.concatenate([path[:num_frames],
+                                 yaws[:num_frames, None]], axis=-1),
+        "velocity_body": np.array([v_body[0], v_body[1], 0.0]),
+        "yaw_rate": w,
+        "timestamps": np.arange(num_frames) * dt,
     }
-    return batched, gt
+    return _to_device_batch(frames), gt
 
 
 def pipeline_scatterer_pad(batch: ScattererBatch, cfg: PipelineConfig

@@ -45,10 +45,9 @@ def _cfg_from_args(args):
 
 
 def _synthetic_scene(cfg, frames: int, seed: int = 7):
-    import jax
     from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
     return constant_motion_scene(
-        jax.random.key(seed), num_frames=frames, dt=cfg.frame_dt,
+        int(seed), num_frames=frames, dt=cfg.frame_dt,
         v_body=(8.0, 0.5), yaw_rate=0.05,
         scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
 
@@ -98,6 +97,9 @@ def cmd_process(args) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     files = sorted(raw_dir.glob("frame_*.npy"))
+    if not files:
+        print(f"error: no frame_*.npy under {raw_dir}", file=sys.stderr)
+        return 2
     subset = (args.chirp_start, args.chirp_end) \
         if args.chirp_start is not None else None
     for i, f in enumerate(files):
@@ -204,6 +206,9 @@ def cmd_visualize(args) -> int:
     from radar_slam_tpu.viz import plots
 
     run = Path(args.run_dir)
+    if not run.is_dir():
+        print(f"error: run directory not found: {run}", file=sys.stderr)
+        return 2
     out = Path(args.out or run / "visualizations")
     out.mkdir(parents=True, exist_ok=True)
     cfg = complete_analysis_config()

@@ -52,7 +52,10 @@ class FrameOutput(NamedTuple):
     num_associations: jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _empty_targets(cfg: PipelineConfig) -> Targets:
+    # Jitted: the axon TPU backend cannot create complex arrays in eager
+    # mode (see utils/host.py); state init must run as a compiled program.
     K = cfg.detection.max_detections
     A = cfg.radar.num_antennas
     zf = jnp.zeros(K, jnp.float32)

@@ -1,0 +1,38 @@
+"""Two-phase batched driver must match the sequential scan driver."""
+
+import jax
+import numpy as np
+import pytest
+
+from radar_slam_tpu.core.config import (AoAConfig, DetectionConfig,
+                                        PipelineConfig, RadarConfig,
+                                        VelocityConfig)
+from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+from radar_slam_tpu.pipeline import frame as pipe
+
+CFG = PipelineConfig(
+    radar=RadarConfig(noise_power=1e-6, num_chirps=32),
+    detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
+                              cfar_offset_db=12.0, max_detections=32),
+    aoa=AoAConfig(search_resolution_deg=2.0, confidence_threshold=0.5,
+                  max_targets=32),
+    velocity=VelocityConfig(),
+)
+
+
+def test_batched_matches_scan():
+    batches, gt = constant_motion_scene(
+        jax.random.key(5), num_frames=8, dt=CFG.frame_dt,
+        v_body=(6.0, -0.5), yaw_rate=0.08,
+        scene=SceneConfig(num_points=64, max_scatterers=CFG.max_scatterers))
+    a = pipe.process_sequence(batches, jax.random.key(0), CFG)
+    b = pipe.process_sequence_batched(batches, jax.random.key(0), CFG)
+    np.testing.assert_allclose(np.asarray(b.pose), np.asarray(a.pose),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.motion.velocity),
+                               np.asarray(a.motion.velocity),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(b.motion.success),
+                                  np.asarray(a.motion.success))
+    np.testing.assert_array_equal(np.asarray(b.num_reliable),
+                                  np.asarray(a.num_reliable))
