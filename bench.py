@@ -54,8 +54,9 @@ def main():
         for _ in range(trials):
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = run()
-            jax.block_until_ready(out)
+                # Synchronize after EVERY execution: async queuing inflates
+                # apparent throughput (deep pipelines overlap host time).
+                jax.block_until_ready(run())
             best = min(best, (time.perf_counter() - t0) / reps)
         return out, n_frames / best
 

@@ -237,6 +237,62 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Evaluate saved velocity / trajectory artifacts against ground truth
+    (evaluation/compute_velocity_error.py:357 and compute_pose_error.py:520
+    CLI parity)."""
+    from radar_slam_tpu.evaluate import pose_metrics, reports, velocity_metrics
+    from radar_slam_tpu.io import artifacts
+
+    run = Path(args.run_dir)
+    out = Path(args.out or run / "evaluation")
+    out.mkdir(parents=True, exist_ok=True)
+    wrote = []
+
+    vel_dir = run / "velocities"
+    if args.gt_velocities and vel_dir.exists():
+        files = sorted(vel_dir.glob("frame_*_velocity.npz"))
+        est = []
+        for i, _ in enumerate(files):
+            v = artifacts.load_velocity_frame(vel_dir, i)
+            est.append(np.concatenate([v["velocity"], v["angular_velocity"]]))
+        gt = np.load(args.gt_velocities)
+        if gt.shape != (len(est), 6):
+            print(f"error: GT velocities shape {gt.shape} != "
+                  f"({len(est)}, 6)", file=sys.stderr)
+            return 2
+        res = velocity_metrics.compute_velocity_errors(np.asarray(est), gt)
+        trends = velocity_metrics.analyze_error_trends(res)
+        reports.write_report(
+            reports.velocity_report_markdown(res, trends),
+            out / "velocity_report.md")
+        wrote.append("velocity_report.md")
+
+    traj_file = run / "poses" / "trajectory.npz"
+    if args.gt_poses and traj_file.exists():
+        traj = artifacts.load_trajectory(run / "poses")
+        est7 = np.column_stack([traj["positions"], traj["quaternions"]])
+        gt7 = np.load(args.gt_poses)
+        if gt7.shape != est7.shape:
+            print(f"error: GT poses shape {gt7.shape} != {est7.shape}",
+                  file=sys.stderr)
+            return 2
+        ape = pose_metrics.compute_ape(est7, gt7)
+        rte = pose_metrics.compute_rte(est7, gt7)
+        reports.write_report(reports.pose_report_markdown(ape, rte),
+                             out / "pose_report.md")
+        print(json.dumps({"position_rmse": ape["position_rmse"],
+                          "orientation_rmse": ape["orientation_rmse"]}))
+        wrote.append("pose_report.md")
+
+    if not wrote:
+        print("error: nothing to evaluate (need --gt-velocities and/or "
+              "--gt-poses plus matching artifacts)", file=sys.stderr)
+        return 2
+    print(f"wrote {wrote} to {out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     sys.argv = ["bench.py"]
@@ -288,6 +344,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--frames", type=int, default=10)
     sp.add_argument("--num-chirps", type=int, default=None)
     sp.set_defaults(fn=cmd_quick_compare)
+
+    sp = sub.add_parser("evaluate", help="evaluate saved artifacts vs GT")
+    sp.add_argument("--run-dir", required=True)
+    sp.add_argument("--gt-velocities", default=None,
+                    help=".npy file of GT velocities [F, 6]")
+    sp.add_argument("--gt-poses", default=None,
+                    help=".npy file of GT poses [F, 7] (xyz + wxyz quat)")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("visualize", help="plot pipeline artifacts")
     sp.add_argument("--run-dir", required=True)
