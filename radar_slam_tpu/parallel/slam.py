@@ -1,0 +1,78 @@
+"""Trajectory refinement: odometry chain + loop closures -> pose-graph GN.
+
+Composes the pieces into the SLAM back-end the reference never had:
+per-frame velocity solves become odometry factors
+(``posegraph.from_velocities``), radar scan matching adds loop-closure
+factors (``loopclosure.find_loop_closures``), and the distributed
+Gauss-Newton solver (``ba.gauss_newton_cg``; optionally over a device mesh)
+produces the refined trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_slam_tpu.parallel import ba, posegraph
+from radar_slam_tpu.parallel.loopclosure import (LoopClosureConfig,
+                                                 find_loop_closures)
+
+
+def targets_to_points(range_m: np.ndarray, azimuth_rad: np.ndarray,
+                      valid: np.ndarray):
+    """Per-frame body-frame detection positions [F, K, 2] + mask."""
+    x = np.asarray(range_m) * np.cos(np.asarray(azimuth_rad))
+    y = np.asarray(range_m) * np.sin(np.asarray(azimuth_rad))
+    return (jnp.asarray(np.stack([x, y], axis=-1), jnp.float32),
+            jnp.asarray(np.asarray(valid)))
+
+
+def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
+                      success: np.ndarray, dt: float,
+                      frame_points: Optional[jax.Array] = None,
+                      frame_valid: Optional[jax.Array] = None,
+                      lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+                      mesh=None, gn_iters: int = 10, cg_iters: int = 60
+                      ) -> Dict:
+    """Build + solve the pose graph for one sequence.
+
+    Args:
+        velocities: [F, 3] per-frame body velocities (from the solver).
+        yaw_rates: [F].
+        success: [F] bool.
+        frame_points / frame_valid: [F, K, 2] / [F, K] detection positions
+            for loop-closure scan matching (None disables loop closures).
+
+    Returns dict with open-loop poses [F+1, 3], refined poses [F+1, 3],
+    accepted loop closures, and final graph cost.
+    """
+    F = len(velocities)
+    cap = lc_cfg.max_candidates if frame_points is not None else 1
+    graph = posegraph.from_velocities(
+        jnp.asarray(velocities, jnp.float32),
+        jnp.asarray(yaw_rates, jnp.float32),
+        jnp.asarray(success), dt, loop_capacity=cap)
+    open_poses = np.asarray(graph.poses)
+
+    loops = []
+    if frame_points is not None:
+        loops = find_loop_closures(frame_points, frame_valid,
+                                   open_poses[:F], lc_cfg)
+        info = jnp.full(3, lc_cfg.info_scale)
+        for slot, lc in enumerate(loops[:cap]):
+            graph = posegraph.add_loop_closure(
+                graph, slot, lc["i"], lc["j"],
+                jnp.asarray(lc["delta"]), info)
+
+    poses, cost = ba.gauss_newton_cg(graph, mesh=mesh, gn_iters=gn_iters,
+                                     cg_iters=cg_iters)
+    return {
+        "open_loop_poses": open_poses,
+        "poses": np.asarray(poses),
+        "loop_closures": loops,
+        "cost": float(cost),
+        "graph": graph._replace(poses=poses),
+    }
