@@ -30,6 +30,22 @@ def targets_to_points(range_m: np.ndarray, azimuth_rad: np.ndarray,
             jnp.asarray(np.asarray(valid)))
 
 
+def refine_sequence_output(out, dt: float,
+                           lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+                           mesh=None) -> Dict:
+    """Refine a pipeline :class:`~radar_slam_tpu.pipeline.frame.FrameOutput`
+    sequence (scan or batched driver) with loop-closure pose-graph GN."""
+    from radar_slam_tpu.utils.host import device_get
+
+    vel = device_get(out.motion.velocity)
+    wz = device_get(out.motion.angular_velocity)[:, 2]
+    ok = device_get(out.motion.success)
+    return refine_trajectory(
+        vel, wz, ok, dt,
+        frame_points=out.target_xy, frame_valid=out.target_valid,
+        lc_cfg=lc_cfg, mesh=mesh)
+
+
 def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                       success: np.ndarray, dt: float,
                       frame_points: Optional[jax.Array] = None,

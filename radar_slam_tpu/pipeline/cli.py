@@ -150,6 +150,23 @@ def cmd_analyze(args) -> int:
     an = StreamingAnalyzer(cfg, gt_fallback=args.gt_fallback)
     metrics = an.analyze_sequence(batches, gt_poses=gt_poses,
                                   gt_velocities=gt_vels)
+    if args.slam:
+        # Re-run as one program to collect target point clouds, then
+        # loop-closure pose-graph refinement.
+        import jax
+        from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+        from radar_slam_tpu.parallel import slam
+        from radar_slam_tpu.pipeline import frame as frame_mod
+        out = frame_mod.process_sequence_batched(batches, jax.random.key(0),
+                                                 cfg)
+        res = slam.refine_sequence_output(out, cfg.frame_dt)
+        F = len(gt_poses)
+        metrics["slam_loop_closures"] = len(res["loop_closures"])
+        if gt_poses is not None:
+            refined = res["poses"][1:F + 1]
+            m2 = planar_pose_errors(refined, np.asarray(gt_poses))
+            metrics["slam_position_rmse"] = m2["position_rmse"]
+            metrics["slam_yaw_rmse"] = m2["yaw_rmse"]
     print(json.dumps(metrics, indent=2, default=float))
     if args.out:
         Path(args.out).mkdir(parents=True, exist_ok=True)
@@ -337,6 +354,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", default=None)
     sp.add_argument("--gt-fallback", action="store_true")
+    sp.add_argument("--slam", action="store_true",
+                    help="loop-closure pose-graph refinement")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("quick-compare",

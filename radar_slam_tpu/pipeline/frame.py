@@ -50,6 +50,8 @@ class FrameOutput(NamedTuple):
     num_detections: jax.Array
     num_reliable: jax.Array
     num_associations: jax.Array
+    target_xy: jax.Array         # [K, 2] reliable-target positions (body)
+    target_valid: jax.Array      # [K] bool (valid & reliable)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -123,6 +125,8 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
         num_detections=det.num_valid.astype(jnp.int32),
         num_reliable=jnp.sum(targets.is_reliable).astype(jnp.int32),
         num_associations=assoc.num_valid.astype(jnp.int32),
+        target_xy=targets.position[:, :2],
+        target_valid=targets.valid & targets.is_reliable,
     )
     return new_state, out
 
@@ -263,7 +267,9 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
             motion=motion, pose=pose,
             num_detections=det_i.num_valid.astype(jnp.int32),
             num_reliable=jnp.sum(reliable).astype(jnp.int32),
-            num_associations=assoc.num_valid.astype(jnp.int32))
+            num_associations=assoc.num_valid.astype(jnp.int32),
+            target_xy=targets.position[:, :2],
+            target_valid=targets.valid & targets.is_reliable)
         return new_state, out
 
     _, outputs = jax.lax.scan(
