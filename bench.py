@@ -9,6 +9,16 @@ reference's complete-analysis operating point (32 chirps, 8 antennas,
 400 samples, 2 deg grid, top-50 targets; radarscenes_complete_analysis.py:
 47-87).
 
+Timing methodology (this container's TPU tunnel makes naive timing lie in
+BOTH directions: ``block_until_ready`` resolves before device completion,
+and each dispatch pays a ~1-2 ms synchronous round trip):
+- completion is forced by fetching real output data, the only trustworthy
+  barrier;
+- per-frame device time is obtained by DIFFERENCING two sequence lengths
+  (F2 - F1 frames in one dispatch each), cancelling the constant
+  dispatch/fetch overhead;
+- the reported frames/s is (F2 - F1) / (T2 - T1), best of several trials.
+
 Baseline: the reference's real pipeline runs 3.28-4.14 s/frame on CPU
 (results/analysis/output_radarscenes/sequence_9_results.json; BASELINE.md)
 -> 0.27 frames/s.  vs_baseline = our frames/s / 0.27.
@@ -24,50 +34,54 @@ import jax
 import numpy as np
 
 
-def main():
-    from radar_slam_tpu.core.config import complete_analysis_config
+def scene(cfg, n_frames):
     from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
-    from radar_slam_tpu.pipeline import frame as pipe
-
-    cfg = complete_analysis_config()
-    n_frames = 64
-    batches, gt = constant_motion_scene(
+    return constant_motion_scene(
         7, num_frames=n_frames, dt=cfg.frame_dt,
         v_body=(8.0, 0.5), yaw_rate=0.05,
         scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
-    jax.block_until_ready(batches)
 
-    # Two drivers: the sequential lax.scan (latency-oriented) and the
-    # two-phase batched driver (throughput-oriented; heavy stages vmapped
-    # over all frames, only the tiny state machine scanned).
-    run_batched = lambda: pipe.process_sequence_batched(
-        batches, jax.random.key(0), cfg)
-    run_scan = lambda: pipe.process_sequence(batches, jax.random.key(0), cfg)
 
-    def timed(run, reps, trials=3):
+def force(out):
+    return float(np.asarray(out.pose[-1, 0]))
+
+
+def time_one(run, trials=4):
+    """Wall time of one dispatch + data-fetch, best of trials."""
+    out = run()
+    force(out)                            # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
         out = run()
-        jax.block_until_ready(out)       # compile
-        for _ in range(3):               # warm the dispatch path
-            out = run()
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                # Synchronize after EVERY execution: async queuing inflates
-                # apparent throughput (deep pipelines overlap host time).
-                jax.block_until_ready(run())
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return out, n_frames / best
+        force(out)
+        best = min(best, time.perf_counter() - t0)
+    return out, best
 
-    out, fps = timed(run_batched, reps=20)
-    _, fps_scan = timed(run_scan, reps=10)
+
+def main():
+    from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.pipeline import frame as pipe
+
+    cfg = complete_analysis_config()
+    f1, f2 = 64, 512
+    batches1, gt1 = scene(cfg, f1)
+    batches2, _ = scene(cfg, f2)
+
+    key = jax.random.key(0)
+    out1, t1 = time_one(lambda: pipe.process_sequence_batched(batches1, key, cfg))
+    out2, t2 = time_one(lambda: pipe.process_sequence_batched(batches2, key, cfg))
+    fps = (f2 - f1) / max(t2 - t1, 1e-9)
+
+    _, t1s = time_one(lambda: pipe.process_sequence(batches1, key, cfg))
+    _, t2s = time_one(lambda: pipe.process_sequence(batches2, key, cfg))
+    fps_scan = (f2 - f1) / max(t2s - t1s, 1e-9)
 
     # Sanity: the benchmark only counts if the pipeline actually works.
-    ok = np.asarray(out.motion.success)
+    ok = np.asarray(out1.motion.success)
     pose_err = float(np.linalg.norm(
-        np.asarray(out.pose)[-1][:2] - np.asarray(gt["poses"])[-1][:2]))
-    sane = bool(ok[1:].mean() > 0.9) and pose_err < 0.15 * n_frames
+        np.asarray(out1.pose)[-1][:2] - np.asarray(gt1["poses"])[-1][:2]))
+    sane = bool(ok[1:].mean() > 0.9) and pose_err < 0.15 * f1
 
     baseline_fps = 1.0 / 3.7   # reference complete-analysis s/frame midpoint
     result = {
@@ -75,8 +89,9 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 1),
-        "frames": n_frames,
+        "frames_delta": f2 - f1,
         "scan_driver_fps": round(fps_scan, 1),
+        "dispatch_s_64f": round(t1, 4),
         "sane": sane,
         "final_pose_err_m": round(pose_err, 3),
         "device": str(jax.devices()[0]),

@@ -19,7 +19,7 @@ Also computes, per association, everything the velocity solver needs
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

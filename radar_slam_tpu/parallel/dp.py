@@ -21,7 +21,7 @@ with ``n_devices=1`` -- asserted in tests.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,6 @@ from radar_slam_tpu.core.config import PipelineConfig
 from radar_slam_tpu.core.types import Targets
 from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.velocity import solve_velocity
-from radar_slam_tpu.pipeline.frame import _empty_targets
 from radar_slam_tpu.signal.detect import detect_peaks
 from radar_slam_tpu.signal.rds import range_doppler_spectrum
 
