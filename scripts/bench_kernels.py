@@ -29,7 +29,7 @@ def _scalar(out):
     return jnp.sum(jnp.real(leaf).reshape(-1)[:8]).astype(jnp.float32)
 
 
-def timeit(fn, *args, iters=200):
+def timeit(fn, *args, iters=64):
     """Device time per kernel call via in-program chaining.
 
     This backend's timing traps: ``block_until_ready`` resolves before
@@ -43,30 +43,26 @@ def timeit(fn, *args, iters=200):
     x0 = args[0]
     rest = args[1:]
 
-    def chained(n):
-        @jax.jit
-        def run(x, *r):
-            def body(i, acc):
-                xi = x * (1.0 + 1e-7 * i)   # loop-dependent: prevents LICM
-                return acc + _scalar(fn(xi, *r))
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return run
+    @jax.jit
+    def chained(x, n, *r):               # n is traced: one compile total
+        def body(i, acc):
+            xi = x * (1.0 + 1e-7 * i)    # loop-dependent: prevents LICM
+            return acc + _scalar(fn(xi, *r))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    run_full = chained(iters)
-    run_quarter = chained(iters // 4)
-
-    def t(run):
-        v = run(x0, *rest)
-        float(np.asarray(v))             # compile + warm, real barrier
+    def t(n):
+        v = chained(x0, n, *rest)
+        float(np.asarray(v))             # compile/warm, real barrier
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            v = run(x0, *rest)
+            v = chained(x0, n, *rest)
             float(np.asarray(v))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max(t(run_full) - t(run_quarter), 1e-9) / (iters - iters // 4)
+    base = max(iters // 4, 1)
+    return max(t(iters) - t(base), 1e-9) / (iters - base)
 
 
 def main():
@@ -106,7 +102,7 @@ def main():
 
     H = make_herm(key)
     eigh = jax.jit(lambda h: jnp.linalg.eigh(h))
-    t = timeit(eigh, H)
+    t = timeit(eigh, H, iters=256)
     results.append({
         "kernel": "batched_eigh_8x8_c64", "batch": 4096,
         "time_us": round(t * 1e6, 1),
@@ -145,7 +141,7 @@ def main():
 
     S, G = make_bf(key)
     bf = jax.jit(lambda s, g: jnp.abs(s @ jnp.conj(g).T) ** 2)
-    t = timeit(bf, S, G)
+    t = timeit(bf, S, G, iters=8192)
     flops = 8 * 4096 * 361 * 8
     results.append({
         "kernel": "beamforming_spectra", "time_us": round(t * 1e6, 1),
@@ -185,10 +181,10 @@ def main():
 
     sig1 = cube[0].transpose(0, 2, 1)      # [8, 64, 400]
     mix = mk_mix(key)
-    t = timeit(jax.jit(lambda s, m: dechirp_window_dc(s, m, True)), sig1, mix)
+    t = timeit(jax.jit(lambda s, m: dechirp_window_dc(s, m, True)), sig1, mix, iters=4096)
     results.append({"kernel": "pallas_dechirp_fused",
                     "time_us": round(t * 1e6, 1)})
-    t = timeit(jax.jit(lambda r: cfar_mask(r, -25.0, 3, 8, 2, 12.0)), cube[0])
+    t = timeit(jax.jit(lambda r: cfar_mask(r, -25.0, 3, 8, 2, 12.0)), cube[0], iters=1024)
     results.append({"kernel": "pallas_cfar_fused",
                     "time_us": round(t * 1e6, 1)})
 
