@@ -196,6 +196,10 @@ class VelocityConfig:
     # observable; weight reflects the coarse position quantization.
     use_apparent_velocity: bool = True
     apparent_velocity_weight: float = 0.1
+    # "mutual" = one-shot mutual-nearest-neighbour matching (parallel; the
+    # default); "greedy" = the reference's power-ordered sequential claim
+    # (velocity_solver_improved.py:100-126).
+    association_method: str = "mutual"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,7 +263,8 @@ def complete_analysis_config() -> PipelineConfig:
         detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
                                   cfar_offset_db=12.0),
         aoa=AoAConfig(search_resolution_deg=2.0, confidence_threshold=0.6,
-                      max_targets=50, temporal_window=3),
+                      max_targets=50, temporal_window=3,
+                      track_capacity=64),
         velocity=VelocityConfig(max_velocity=30.0, max_angular_velocity=5.0,
                                 regularization_weight=0.01),
         pose=PoseConfig(planar=True),

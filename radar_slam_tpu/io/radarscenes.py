@@ -255,6 +255,50 @@ class RadarScenesLoader:
     # Statistics (radarscenes_loader.py:324-395, analyze_radarscenes_dataset)
     # ------------------------------------------------------------------
 
+    def analyze_sequence_quality(self, sequence_data: Dict) -> Dict:
+        """Sequence data-quality analysis (radarscenes_loader.py:324-395):
+        measurement/odometry rates, range/azimuth/velocity/yaw-rate stats,
+        total distance and average speed."""
+        radar = sequence_data["radar_data"]
+        odo = sequence_data["odometry_data"]
+        meta = sequence_data.get("metadata", {})
+        first = meta.get("first_timestamp")
+        last = meta.get("last_timestamp")
+        if first is not None and last is not None:
+            duration_s = (last - first) / 1e6
+        else:
+            ts = radar["timestamp"]
+            duration_s = (int(ts.max()) - int(ts.min())) / 1e6 if len(ts) else 0.0
+
+        def stats(x):
+            x = np.asarray(x, np.float64)
+            return {"min": float(x.min()), "max": float(x.max()),
+                    "mean": float(x.mean()), "std": float(x.std())} \
+                if len(x) else {}
+
+        analysis = {
+            "sequence_id": sequence_data["sequence_id"],
+            "duration_seconds": duration_s,
+            "radar_measurements": int(len(radar["timestamp"])),
+            "odometry_records": int(len(odo["timestamp"])),
+            "sensors_used": sorted(int(s) for s in
+                                   np.unique(radar["sensor_id"])),
+            "measurement_rate": (len(radar["timestamp"]) / duration_s
+                                 if duration_s else 0.0),
+            "odometry_rate": (len(odo["timestamp"]) / duration_s
+                              if duration_s else 0.0),
+            "range_stats": stats(radar["range_sc"]),
+            "azimuth_stats": stats(radar["azimuth_sc"]),
+            "velocity_stats": stats(odo["vx"]),
+            "yaw_rate_stats": stats(odo["yaw_rate"]),
+        }
+        if len(odo["timestamp"]) > 1:
+            d = np.hypot(np.diff(odo["x_seq"]), np.diff(odo["y_seq"]))
+            analysis["total_distance"] = float(d.sum())
+            analysis["average_speed"] = (float(d.sum()) / duration_s
+                                         if duration_s else 0.0)
+        return analysis
+
     def sequence_statistics(self, sequence_data: Dict) -> Dict:
         radar = sequence_data["radar_data"]
         r = radar["range_sc"]

@@ -61,17 +61,34 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
     BIG = jnp.float32(1e9)
     dist = jnp.where(cur_ok[:, None] & prev_ok[None, :], dist, BIG)
 
-    def step(used, row):
-        d, ok = row
-        d = jnp.where(used, BIG, d)
-        j = jnp.argmin(d)
-        best = d[j]
-        hit = ok & (best < cfg.association_gate)
-        used = used | (jnp.arange(K) == j) & hit
-        return used, (j.astype(jnp.int32), best, hit)
+    if cfg.association_method == "greedy":
+        # Reference-faithful: current targets claim in power order, each
+        # taking the nearest unused previous target (sequential scan).
+        def step(used, row):
+            d, ok = row
+            d = jnp.where(used, BIG, d)
+            j = jnp.argmin(d)
+            best = d[j]
+            hit = ok & (best < cfg.association_gate)
+            used = used | (jnp.arange(K) == j) & hit
+            return used, (j.astype(jnp.int32), best, hit)
 
-    _, (prev_idx, best_dist, hit) = jax.lax.scan(
-        step, jnp.zeros(K, bool), (dist, cur_ok))
+        _, (prev_idx, best_dist, hit) = jax.lax.scan(
+            step, jnp.zeros(K, bool), (dist, cur_ok))
+    elif cfg.association_method == "mutual":
+        # Mutual nearest neighbours: i <-> j match iff each is the other's
+        # argmin.  One shot, fully parallel (the sequential greedy scan costs
+        # K tiny serialized device steps per frame); at most as many matches
+        # as greedy but never a crossed pair.
+        j_of_i = jnp.argmin(dist, axis=1)                       # [K]
+        i_of_j = jnp.argmin(dist, axis=0)                       # [K]
+        best_dist = jnp.min(dist, axis=1)
+        mutual = i_of_j[j_of_i] == jnp.arange(K)
+        hit = cur_ok & mutual & (best_dist < cfg.association_gate)
+        prev_idx = j_of_i.astype(jnp.int32)
+    else:
+        raise ValueError(
+            f"Unknown association method: {cfg.association_method}")
 
     # Temporal phase diff on reference antenna 0:
     # angle(s_t[0] * conj(s_{t-1}[0]))  (velocity_solver_improved.py:150).

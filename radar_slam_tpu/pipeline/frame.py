@@ -228,51 +228,63 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
     det, sigs, keep, num_sources, is_multi, angles_deg, conf = jax.vmap(
         heavy)(scatterers, keys)
 
-    # ---- phase B: sequential state machine (smoother/assoc/solve/pose) ----
-    state = init_state(cfg)
-
-    def light(st: FrameState, inp):
-        det_i, sigs_i, keep_i, ns_i, multi_i, ang_i, conf_i = inp
+    # ---- phase B1: smoother scan (the only truly sequential per-target
+    # state), producing smoothed angles per frame ---------------------------
+    def smooth_step(sm, inp):
+        det_i, keep_i, ang_i, conf_i = inp
         det_keys = det_i.range_bin * D + det_i.doppler_bin
-        sm, ang_i, conf_i = smoothing.update(
-            st.smoother, det_keys, ang_i, conf_i, keep_i, cfg.aoa)
-        reliable = keep_i & (conf_i >= cfg.aoa.confidence_threshold) & ~multi_i
-        targets = Targets(
-            range_bin=det_i.range_bin, doppler_bin=det_i.doppler_bin,
-            range_m=det_i.range_m, doppler_hz=det_i.doppler_hz,
-            vr_mps=det_i.vr_mps, power_db=det_i.power_db,
-            azimuth_rad=jnp.deg2rad(ang_i), confidence=conf_i,
-            num_sources=ns_i, is_multipath=multi_i, is_reliable=reliable,
-            spatial_signature=sigs_i, valid=keep_i)
+        sm, ang_s, conf_s = smoothing.update(sm, det_keys, ang_i, conf_i,
+                                             keep_i, cfg.aoa)
+        return sm, (ang_s, conf_s)
 
-        assoc = associate_targets(targets, st.prev_targets, cfg.frame_dt,
-                                  cfg.velocity)
-        assoc = assoc._replace(valid=assoc.valid & st.prev_valid)
-        motion = solve_velocity(assoc, jnp.float32(cfg.frame_dt),
-                                cfg.radar.lambda_c, cfg.velocity,
-                                prev_motion=st.prev_motion)
-        pose = jnp.where(
-            motion.success,
-            planar_pose_step(st.pose, motion.velocity,
-                             motion.angular_velocity[2],
-                             jnp.float32(cfg.frame_dt), rotate_pose),
-            st.pose)
-        new_state = FrameState(
-            smoother=sm, prev_targets=targets,
-            prev_valid=targets.num_valid > 0,
-            prev_motion=jnp.where(motion.success, motion.params,
-                                  st.prev_motion),
-            pose=pose)
-        out = FrameOutput(
-            motion=motion, pose=pose,
-            num_detections=det_i.num_valid.astype(jnp.int32),
-            num_reliable=jnp.sum(reliable).astype(jnp.int32),
-            num_associations=assoc.num_valid.astype(jnp.int32),
-            target_xy=targets.position[:, :2],
-            target_valid=targets.valid & targets.is_reliable)
-        return new_state, out
+    _, (angles_s, conf_s) = jax.lax.scan(
+        smooth_step, smoothing.init_state(cfg.aoa),
+        (det, keep, angles_deg, conf))
 
-    _, outputs = jax.lax.scan(
-        light, state,
-        (det, sigs, keep, num_sources, is_multi, angles_deg, conf))
-    return outputs
+    reliable = keep & (conf_s >= cfg.aoa.confidence_threshold) & ~is_multi
+    targets = Targets(
+        range_bin=det.range_bin, doppler_bin=det.doppler_bin,
+        range_m=det.range_m, doppler_hz=det.doppler_hz,
+        vr_mps=det.vr_mps, power_db=det.power_db,
+        azimuth_rad=jnp.deg2rad(angles_s), confidence=conf_s,
+        num_sources=num_sources, is_multipath=is_multi,
+        is_reliable=reliable, spatial_signature=sigs, valid=keep)  # [F, ...]
+
+    # ---- phase B2: association + velocity solve, batched over frames ------
+    # Association only needs the PREVIOUS frame's targets -- a shift, not a
+    # scan.  The temporal motion prior is dropped in this driver (weight is
+    # 0.001x the data terms; the scan driver keeps it).
+    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]]), targets)
+    has_prev = jnp.arange(F) > 0
+
+    def solve_one(cur, prv, hp):
+        assoc = associate_targets(cur, prv, cfg.frame_dt, cfg.velocity)
+        assoc = assoc._replace(valid=assoc.valid & hp)
+        return assoc.num_valid, solve_velocity(
+            assoc, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
+            cfg.velocity)
+
+    n_assoc, motion = jax.vmap(solve_one)(targets, prev, has_prev)
+
+    # ---- phase B3: pose composition (vectorized prefix sums) --------------
+    dtf = jnp.float32(cfg.frame_dt)
+    wz = jnp.where(motion.success, motion.angular_velocity[:, 2], 0.0)
+    yaw_after = jnp.cumsum(wz * dtf)
+    yaw_before = yaw_after - wz * dtf
+    v = jnp.where(motion.success[:, None], motion.velocity[:, :2], 0.0)
+    if rotate_pose:
+        c, s = jnp.cos(yaw_before), jnp.sin(yaw_before)
+        step_xy = jnp.stack([c * v[:, 0] - s * v[:, 1],
+                             s * v[:, 0] + c * v[:, 1]], axis=-1) * dtf
+    else:
+        step_xy = v * dtf
+    xy_after = jnp.cumsum(step_xy, axis=0)
+    pose = jnp.concatenate([xy_after, yaw_after[:, None]], axis=-1)
+
+    return FrameOutput(
+        motion=motion, pose=pose,
+        num_detections=jnp.sum(det.valid, axis=-1).astype(jnp.int32),
+        num_reliable=jnp.sum(reliable, axis=-1).astype(jnp.int32),
+        num_associations=n_assoc.astype(jnp.int32),
+        target_xy=targets.position[..., :2],
+        target_valid=targets.valid & targets.is_reliable)

@@ -115,9 +115,11 @@ def range_doppler_spectrum(signals: jax.Array,
         wd = get_window(doppler_window, x.shape[-2]).astype(jnp.float32)
         x = x * wd[..., :, None].astype(jnp.complex64)
 
-    # Range transform: e^{+j} kernel => S * ifft along fast time.
+    # Range transform: e^{+j} kernel => S * ifft along fast time (last axis).
     rng = jnp.fft.ifft(x, axis=-1) * jnp.complex64(S)   # [..., A, C, S_r]
-    # Doppler transform over chirps + fftshift.
-    rds = jnp.fft.fftshift(jnp.fft.fft(rng, axis=-2), axes=-2)
-    # Layout [..., A, range, doppler] (dechirp.py:193 layout).
-    return jnp.swapaxes(rds, -1, -2).astype(jnp.complex64)
+    # Doppler transform over chirps: transpose first so the FFT also runs on
+    # the last axis (XLA's FFT on a minor axis pays an internal transpose),
+    # which directly yields the output layout [..., A, range, doppler]
+    # (dechirp.py:193 layout).
+    rds = jnp.fft.fft(jnp.swapaxes(rng, -1, -2), axis=-1)
+    return jnp.fft.fftshift(rds, axes=-1).astype(jnp.complex64)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Per-stage device-time breakdown of the pipeline (chained timing).
+
+Stages measured independently over a 64-frame batch at the complete-analysis
+operating point: synthesis, RDS (dechirp+windows+FFTs), detection
+(CFAR+top-K+interp), signatures+eigh+MDL, beamforming+confidence,
+association+solve.  Uses the same chained-iteration methodology as
+scripts/bench_kernels.py (this backend's dispatch/readiness semantics make
+naive timing lie; see that file).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scalar(out):
+    leaf = jax.tree.leaves(out)[0]
+    return jnp.sum(jnp.real(leaf).reshape(-1)[:4]).astype(jnp.float32)
+
+
+def timeit(fn, x0, iters=64):
+    @jax.jit
+    def chained(x, n):
+        def body(i, acc):
+            xi = jax.tree.map(lambda a: a * (1 + 1e-7 * i)
+                              if jnp.issubdtype(a.dtype, jnp.inexact) else a,
+                              x)
+            return acc + _scalar(fn(xi))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def t(n):
+        float(np.asarray(chained(x0, n)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(x0, n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    base = max(iters // 4, 1)
+    return max(t(iters) - t(base), 1e-12) / (iters - base)
+
+
+def main():
+    from radar_slam_tpu.aoa import confidence as conf_mod
+    from radar_slam_tpu.aoa import estimators
+    from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+    from radar_slam_tpu.signal.detect import (detect_peaks,
+                                              extract_spatial_signatures)
+    from radar_slam_tpu.signal.rds import range_doppler_spectrum
+    from radar_slam_tpu.signal.synth import synthesize_frames_batch
+
+    cfg = complete_analysis_config()
+    F = 64
+    batches, _ = constant_motion_scene(
+        7, num_frames=F, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
+        scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
+
+    key = jax.random.key(0)
+    signals = synthesize_frames_batch(batches, cfg.radar, key)
+    rds = jax.jit(jax.vmap(lambda s: range_doppler_spectrum(
+        s, cfg.radar, doppler_window=cfg.doppler_window)))(signals)
+    det = jax.jit(jax.vmap(
+        lambda r: detect_peaks(r, cfg.radar, cfg.detection)))(rds)
+    sigs = jax.jit(jax.vmap(extract_spatial_signatures))(rds, det)
+
+    stages = []
+
+    stages.append(("synthesis", timeit(
+        lambda b: synthesize_frames_batch(b, cfg.radar, key), batches)))
+    stages.append(("rds_fft", timeit(
+        lambda s: jax.vmap(lambda x: range_doppler_spectrum(
+            x, cfg.radar, doppler_window=cfg.doppler_window))(s), signals)))
+    stages.append(("detection_cfar_topk", timeit(
+        lambda r: jax.vmap(lambda x: detect_peaks(
+            x, cfg.radar, cfg.detection))(r), rds)))
+
+    def aoa_stage(s):
+        R = estimators.signature_covariances(s.reshape(-1, s.shape[-1]))
+        ev, _ = estimators.eigendecompose(R)
+        ns, multi, _ = conf_mod.mdl_model_order(ev)
+        ang, _ = estimators.estimate_beamforming(
+            s.reshape(-1, s.shape[-1]), cfg.radar, cfg.aoa)
+        conf = conf_mod.angle_confidence(
+            s.reshape(-1, s.shape[-1]), ang, cfg.radar)
+        return ang, conf, ns
+
+    stages.append(("aoa_eigh_mdl_beamform_conf", timeit(aoa_stage, sigs)))
+
+    total_us = sum(t for _, t in stages) * 1e6
+    out = {
+        "device": str(jax.devices()[0]),
+        "frames": F,
+        "stages_us_per_64frames": {k: round(t * 1e6, 1) for k, t in stages},
+        "measured_total_us": round(total_us, 1),
+        "implied_fps_from_stages": round(F / (total_us / 1e6), 1),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

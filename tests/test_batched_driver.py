@@ -10,13 +10,16 @@ from radar_slam_tpu.core.config import (AoAConfig, DetectionConfig,
 from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
 from radar_slam_tpu.pipeline import frame as pipe
 
+# temporal_weight=0: the batched driver solves all frames in parallel and
+# drops the (0.001x-weight) temporal motion prior; zeroing it makes the two
+# drivers algebraically identical.
 CFG = PipelineConfig(
     radar=RadarConfig(noise_power=1e-6, num_chirps=32),
     detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
                               cfar_offset_db=12.0, max_detections=32),
     aoa=AoAConfig(search_resolution_deg=2.0, confidence_threshold=0.5,
                   max_targets=32),
-    velocity=VelocityConfig(),
+    velocity=VelocityConfig(temporal_weight=0.0),
 )
 
 

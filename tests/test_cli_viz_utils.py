@@ -96,3 +96,50 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.pose), [1.0, 2.0, 0.3])
     latest = checkpointing.latest_checkpoint(tmp_path)
     assert latest is not None and latest.name == "state_0001.npz"
+
+
+def test_rds_quality_and_compare():
+    rng = np.random.default_rng(0)
+    rds = (rng.normal(0, 0.01, (8, 64, 32))
+           + 1j * rng.normal(0, 0.01, (8, 64, 32)))
+    rds[:, 30, 16] += 10.0
+    q = analyze.analyze_rds_quality(rds)
+    assert q["dynamic_range_db"] > 40
+    assert 0 < q["energy_concentration_top1pct"] <= 1.0
+    frames = [{"valid": np.array([True, True]),
+               "range_m": np.array([10.0 + i, 20.0 + i])} for i in range(5)]
+    c = analyze.compare_frames(frames)
+    assert c["count_mean"] == 2.0
+    assert abs(c["range_mean_drift_per_frame"] - 1.0) < 1e-9
+
+
+def test_sequence_quality_analysis(tmp_path):
+    import pytest as _pytest
+    h5py = _pytest.importorskip("h5py")
+    root = tmp_path / "rs"
+    (root / "data" / "sequence_2").mkdir(parents=True)
+    n = 100
+    rng = np.random.default_rng(1)
+    radar = np.zeros(n, dtype=[("timestamp", "i8"), ("sensor_id", "u1"),
+                               ("range_sc", "f4"), ("azimuth_sc", "f4"),
+                               ("rcs", "f4"), ("vr", "f4"),
+                               ("x_cc", "f4"), ("y_cc", "f4")])
+    radar["timestamp"] = np.sort(rng.integers(0, 2_000_000, n))
+    radar["range_sc"] = rng.uniform(2, 60, n)
+    odo = np.zeros(20, dtype=[("timestamp", "i8"), ("x_seq", "f8"),
+                              ("y_seq", "f8"), ("yaw_seq", "f8"),
+                              ("vx", "f8"), ("yaw_rate", "f8")])
+    odo["timestamp"] = np.linspace(0, 2_000_000, 20).astype(np.int64)
+    odo["x_seq"] = np.linspace(0, 20, 20)
+    odo["vx"] = 10.0
+    with h5py.File(root / "data" / "sequence_2" / "radar_data.h5", "w") as f:
+        f.create_dataset("radar_data", data=radar)
+        f.create_dataset("odometry", data=odo)
+    from radar_slam_tpu.io.radarscenes import RadarScenesLoader
+    loader = RadarScenesLoader(root)
+    data = loader.load_sequence_data("sequence_2")
+    q = loader.analyze_sequence_quality(data)
+    assert q["radar_measurements"] == n
+    assert abs(q["total_distance"] - 20.0) < 1e-6
+    assert q["velocity_stats"]["mean"] == 10.0
+    assert q["duration_seconds"] > 0
