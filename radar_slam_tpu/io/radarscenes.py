@@ -230,7 +230,73 @@ class RadarScenesLoader:
                                                 max_scatterers)
                      for f in frames]
         batched = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+        _, gt_arrays = self._ground_truth_arrays(frames, sequence_data)
+        return batched, gt_arrays
 
+    # ------------------------------------------------------------------
+    # Per-sensor rig batches (mounted-radar geometry; pipeline/rig.py)
+    # ------------------------------------------------------------------
+
+    def sequence_rig(self, sequence_data: Dict):
+        """Static rig tuple ((x, y, yaw), ...) for the sequence's sensors.
+
+        Sensor order = sorted sensor ids present in the data; unknown mounts
+        default to the vehicle origin (colocated).  The reference never
+        consumes sensors.json mounting (SURVEY section 2 row 1)."""
+        ids = sorted(int(s) for s in
+                     np.unique(sequence_data["radar_data"]["sensor_id"]))
+        rig = []
+        for sid in ids:
+            m = self.sensor_mount(sid)
+            rig.append((m["x"], m["y"], m["yaw"]) if m else (0.0, 0.0, 0.0))
+        return tuple(ids), tuple(rig)
+
+    def frame_scatterer_batch_rig(self, sequence_data: Dict, frame: Dict,
+                                  sensor_ids, max_scatterers: int
+                                  ) -> ScattererBatch:
+        """One frame's scatterers per sensor [B, S], SENSOR-frame polar
+        (no mounting transform -- the rig pipeline owns the geometry)."""
+        import jax.numpy as jnp
+
+        cols = {k: [] for k in SCATTERER_FIELDS}
+        for sid in sensor_ids:
+            sc = self.convert_radar_to_scatterers(sequence_data, frame, sid,
+                                                  apply_mounting=False)
+            n = len(sc["range_sc"])
+
+            def p(x):
+                x = np.asarray(x, np.float32)[:max_scatterers]
+                return np.pad(x, (0, max(max_scatterers - len(x), 0)))
+
+            for k in SCATTERER_FIELDS:
+                cols[k].append(p(sc[k]))
+            cols.setdefault("_valid", []).append(
+                np.arange(max_scatterers) < min(n, max_scatterers))
+        return ScattererBatch(
+            range_m=jnp.asarray(np.stack(cols["range_sc"])),
+            azimuth_rad=jnp.asarray(np.stack(cols["azimuth_sc"])),
+            rcs_db=jnp.asarray(np.stack(cols["rcs"])),
+            vr=jnp.asarray(np.stack(cols["vr"])),
+            valid=jnp.asarray(np.stack(cols["_valid"])),
+        )
+
+    def frames_as_batches_rig(self, sequence_data: Dict, frames: List[Dict],
+                              max_scatterers: int):
+        """Stacked per-sensor batches [F, B, S] + rig + ground truth.
+
+        Returns (ScattererBatch [F, B, S], rig tuple, gt dict as in
+        :meth:`frames_as_batches`)."""
+        import jax
+        import jax.numpy as jnp
+
+        sensor_ids, rig = self.sequence_rig(sequence_data)
+        per_frame = [self.frame_scatterer_batch_rig(
+            sequence_data, f, sensor_ids, max_scatterers) for f in frames]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+        _, gt_arrays = self._ground_truth_arrays(frames, sequence_data)
+        return batched, rig, gt_arrays
+
+    def _ground_truth_arrays(self, frames, sequence_data):
         t0 = frames[0]["timestamp"]
         ts, poses, vels, ok = [], [], [], []
         for f in frames:
@@ -243,13 +309,12 @@ class RadarScenesLoader:
                 poses.append([gt["x"], gt["y"], gt["yaw"]])
                 vels.append([gt["vx"], gt["yaw_rate"]])
                 ok.append(True)
-        gt_arrays = {
+        return None, {
             "poses": np.asarray(poses, np.float64),
             "velocities": np.asarray(vels, np.float64),
             "timestamps_s": np.asarray(ts, np.float64),
             "valid": np.asarray(ok, bool),
         }
-        return batched, gt_arrays
 
     # ------------------------------------------------------------------
     # Statistics (radarscenes_loader.py:324-395, analyze_radarscenes_dataset)

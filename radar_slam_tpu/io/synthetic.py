@@ -186,6 +186,121 @@ def constant_motion_scene(seed: SeedLike, num_frames: int, dt: float,
     return _to_device_batch(frames), gt
 
 
+def observe_points_from_sensor(world_xy: np.ndarray, rcs_db: np.ndarray,
+                               ego_xy: np.ndarray, ego_yaw: float,
+                               v_body: np.ndarray, yaw_rate: float,
+                               mount: Tuple[float, float, float],
+                               max_scatterers: int,
+                               max_range: float = 1e9,
+                               min_range: float = 1.5,
+                               fov_rad: float = 2.4) -> Dict[str, np.ndarray]:
+    """Project static world points into ONE mounted sensor's frame.
+
+    ``mount`` = (x, y, yaw) of the sensor in the vehicle frame.  Outputs are
+    SENSOR-frame polar coordinates (what a real mounted radar measures; cf.
+    RadarScenes per-sensor ``range_sc``/``azimuth_sc``), and the radial
+    velocity is the exact range rate of a static point seen from the mounted
+    sensor on a translating+rotating ego:
+
+        vr = -d . (v + w x p)      (d = sensor->target LOS, p = target
+                                    position, both in the vehicle frame;
+                                    see motion/velocity.py design_matrix)
+
+    The w x p lever-arm term is what makes yaw rate observable from Doppler
+    alone with a multi-sensor rig -- the colocated :func:`observe_points`
+    cannot express it (there d is parallel to p)."""
+    world_xy = np.asarray(world_xy, np.float64)
+    mx, my, myaw = float(mount[0]), float(mount[1]), float(mount[2])
+    c, s = np.cos(ego_yaw), np.sin(ego_yaw)
+    rel = world_xy - np.asarray(ego_xy)[None, :]
+    # Target position p in the vehicle (body) frame.
+    px = c * rel[:, 0] + s * rel[:, 1]
+    py = -s * rel[:, 0] + c * rel[:, 1]
+    # Sensor->target vector in the vehicle frame.
+    ex, ey = px - mx, py - my
+    rng_m = np.hypot(ex, ey)
+    dx, dy = ex / np.maximum(rng_m, 1e-6), ey / np.maximum(rng_m, 1e-6)
+    # Azimuth in the SENSOR frame (boresight rotated by mount yaw).
+    az = np.arctan2(ey, ex) - myaw
+    az = np.arctan2(np.sin(az), np.cos(az))
+    w = float(yaw_rate)
+    # v + w x p (planar): (vx - w py, vy + w px).
+    vr = -(dx * (v_body[0] - w * py) + dy * (v_body[1] + w * px))
+
+    n = len(world_xy)
+    assert max_scatterers >= n, "max_scatterers smaller than point count"
+    pad = max_scatterers - n
+
+    def z(x):
+        return np.pad(np.asarray(x, np.float32), (0, pad))
+
+    observable = ((rng_m <= max_range) & (rng_m >= min_range)
+                  & (np.abs(az) <= fov_rad / 2))
+    return {
+        "range_m": z(rng_m), "azimuth_rad": z(az), "rcs_db": z(rcs_db),
+        "vr": z(vr),
+        "valid": np.pad(observable, (0, pad)),
+    }
+
+
+def constant_motion_scene_rig(seed: SeedLike, num_frames: int, dt: float,
+                              v_body: Tuple[float, float],
+                              yaw_rate: float,
+                              rig: Tuple[Tuple[float, float, float], ...],
+                              scene: SceneConfig = SceneConfig()):
+    """Multi-sensor variant of :func:`constant_motion_scene`.
+
+    Each sensor of ``rig`` ((x, y, yaw) mounts in the vehicle frame) observes
+    the same static world in its own frame.  Points are placed around the
+    path per sensor so every sensor keeps returns in view.
+
+    Returns (ScattererBatch stacked [F, N_sens, S] on device, gt dict)."""
+    vb = np.array([v_body[0], v_body[1]], np.float64)
+    w = float(yaw_rate)
+
+    yaws = w * dt * np.arange(num_frames + 1)
+    c, s = np.cos(yaws[:-1]), np.sin(yaws[:-1])
+    steps = np.stack([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1]],
+                     axis=-1) * dt
+    path = np.concatenate([np.zeros((1, 2)), np.cumsum(steps, axis=0)])
+
+    rng = _rng(seed)
+    worlds = []
+    for b, mount in enumerate(rig):
+        # Seed world points along boresight of this sensor around the path.
+        n = scene.num_points
+        idx = rng.integers(0, len(path), n)
+        base = path[idx]
+        head = yaws[idx] + mount[2]
+        along = rng.uniform(scene.min_range, scene.max_range * 0.8, n)
+        across = rng.uniform(-0.4, 0.4, n) * scene.max_range
+        pts = base + np.stack([
+            np.cos(head) * along - np.sin(head) * across,
+            np.sin(head) * along + np.cos(head) * across], axis=-1)
+        rcs = rng.uniform(scene.rcs_min_db, scene.rcs_max_db, n)
+        worlds.append((pts, rcs))
+
+    frames = []
+    for i in range(num_frames):
+        per_sensor = [
+            observe_points_from_sensor(
+                worlds[b][0], worlds[b][1], path[i], yaws[i], vb, w, mount,
+                scene.max_scatterers, max_range=scene.max_range,
+                fov_rad=scene.fov_rad)
+            for b, mount in enumerate(rig)]
+        frames.append({k: np.stack([ps[k] for ps in per_sensor])
+                       for k in per_sensor[0]})
+
+    gt = {
+        "poses": np.concatenate([path[:num_frames],
+                                 yaws[:num_frames, None]], axis=-1),
+        "velocity_body": np.array([v_body[0], v_body[1], 0.0]),
+        "yaw_rate": w,
+        "timestamps": np.arange(num_frames) * dt,
+    }
+    return _to_device_batch(frames), gt
+
+
 def pipeline_scatterer_pad(batch: ScattererBatch, cfg: PipelineConfig
                            ) -> ScattererBatch:
     """Pad/trim a batch to the pipeline's static scatterer capacity."""

@@ -31,8 +31,9 @@ from radar_slam_tpu.core.types import Associations, Targets
 
 @functools.partial(jax.jit, static_argnames=("cfg", "metric"))
 def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array,
-                      cfg: VelocityConfig, metric: str = "cartesian"
-                      ) -> Associations:
+                      cfg: VelocityConfig, metric: str = "cartesian",
+                      sensor_pos: jax.Array | None = None,
+                      group: jax.Array | None = None) -> Associations:
     """Greedy gated NN association between consecutive frames.
 
     Args:
@@ -40,6 +41,15 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
             (velocity_solver_improved.py:92-98);  "polar" -- the
             complete-analysis variant sqrt(d_range^2 + d_azimuth^2) mixing
             metres and radians (radarscenes_complete_analysis.py:285-287).
+        sensor_pos: optional [K, 3] vehicle-frame origin of the sensor that
+            observed each *current* target.  When given, solver line-of-sight
+            directions are (position - sensor_pos) normalized instead of the
+            vehicle-origin LOS -- required for mounted (non-colocated) radars,
+            where the lever arm s x d makes yaw rate observable from Doppler
+            alone (the reference ignores mounting; SURVEY/ROADMAP item 2).
+        group: optional [K] int32 sensor/block id shared by both frames'
+            target layouts; matches are restricted to equal ids (temporal
+            phase differences are only meaningful within one physical sensor).
     """
     K = current.range_m.shape[0]
 
@@ -59,7 +69,10 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
         raise ValueError(f"Unknown association metric: {metric}")
 
     BIG = jnp.float32(1e9)
-    dist = jnp.where(cur_ok[:, None] & prev_ok[None, :], dist, BIG)
+    ok = cur_ok[:, None] & prev_ok[None, :]
+    if group is not None:
+        ok = ok & (group[:, None] == group[None, :])
+    dist = jnp.where(ok, dist, BIG)
 
     if cfg.association_method == "greedy":
         # Reference-faithful: current targets claim in power order, each
@@ -100,12 +113,18 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
     apparent_v = (current.position - previous.position[prev_idx]) / dt
 
     el = jnp.zeros_like(current.azimuth_rad)
+    if sensor_pos is None:
+        direction = direction_vector(current.azimuth_rad, el)
+    else:
+        rel = current.position - sensor_pos
+        direction = rel / jnp.maximum(
+            jnp.linalg.norm(rel, axis=-1, keepdims=True), 1e-6)
     return Associations(
         prev_index=prev_idx,
         distance=jnp.where(hit, best_dist, 0.0),
         temporal_phase_diff=jnp.where(hit, phase, 0.0),
         position=current.position,
-        direction=direction_vector(current.azimuth_rad, el),
+        direction=direction,
         vr_mps=current.vr_mps,
         apparent_velocity=jnp.where(hit[:, None], apparent_v, 0.0),
         weight=jnp.where(hit, current.confidence * previous.confidence[prev_idx],

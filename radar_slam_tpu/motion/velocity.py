@@ -47,7 +47,14 @@ from radar_slam_tpu.core.types import Associations, MotionEstimate
 
 
 def design_matrix(assoc: Associations) -> jax.Array:
-    """Rows [K, 6] = [d_i, r_i x d_i] (the radial-rate Jacobian)."""
+    """Rows [K, 6] = [d_i, r_i x d_i] (the radial-rate Jacobian).
+
+    The range rate of a static target at vehicle-frame position r seen from a
+    sensor at s with LOS d = (r - s)/|r - s| is -d.(v + w x r); note
+    r x d == s x d (they differ by |r-s| d x d = 0), so using the target
+    position as the lever arm is exact for any mounting.  For a colocated
+    sensor (d parallel to r) the omega columns vanish -- yaw rate is only
+    Doppler-observable with off-origin sensors (ROADMAP item 2)."""
     r = assoc.position
     d = assoc.direction
     return jnp.concatenate([d, jnp.cross(r, d)], axis=-1)
@@ -162,10 +169,14 @@ def refine_phase(assoc: Associations, x0: jax.Array, dt: jax.Array,
     identically zero (r x d = 0) -- refining all 6 parameters would couple a
     ~1e8-magnitude v block with the 1e-2 omega prior in one float32 solve
     (condition ~1e10) and fill omega with numerical noise; omega keeps the
-    value observed by the doppler/apparent-velocity stage."""
+    value observed by the doppler/apparent-velocity stage.  For mounted
+    (off-origin) sensors the omega columns r x d are nonzero; their phase
+    contribution at x0's omega is subtracted from the residual as a fixed
+    offset so the v refinement stays unbiased."""
     scale = 4.0 * jnp.pi * jnp.float32(dt) / jnp.float32(lambda_c)
     A = scale * assoc.direction                                   # [K, 3]
-    phi = assoc.temporal_phase_diff
+    lever = jnp.cross(assoc.position, assoc.direction)            # [K, 3]
+    phi = assoc.temporal_phase_diff - scale * (lever @ x0[3:])
     w0 = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
     t_w = jnp.float32(cfg.temporal_weight * cfg.regularization_weight
                       if prev_motion is not None else 0.0)

@@ -139,6 +139,8 @@ def cmd_analyze(args) -> int:
     from radar_slam_tpu.viz.plots import comprehensive_overview
 
     cfg = _cfg_from_args(args)
+    if getattr(args, "rig", False):
+        return _cmd_analyze_rig(args, cfg)
     if args.dataset:
         batches, gt = _load_dataset_frames(args, cfg)
         gt_poses = gt["poses"]
@@ -173,6 +175,57 @@ def cmd_analyze(args) -> int:
         comprehensive_overview(an.results,
                                Path(args.out) / "complete_analysis.png")
         with open(Path(args.out) / "analysis_results.json", "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+    return 0
+
+
+def _cmd_analyze_rig(args, cfg) -> int:
+    """Mounted-rig analysis: per-sensor processing in each sensor's frame
+    with exact mounting geometry (pipeline/rig.py; ROADMAP item 2).
+
+    With a RadarScenes dataset the rig comes from sensors.json; the
+    synthetic fallback demonstrates Doppler-observable yaw rate on a
+    two-sensor front rig."""
+    import jax
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    if args.dataset:
+        from radar_slam_tpu.io.radarscenes import RadarScenesLoader
+        loader = RadarScenesLoader(args.dataset)
+        data = loader.load_sequence_data(args.seq)
+        frames = loader.extract_radar_frames(data, cfg.frame_duration_ms)
+        if args.max_frames:
+            frames = frames[:args.max_frames]
+        batches, rig, gt = loader.frames_as_batches_rig(
+            data, frames, cfg.max_scatterers)
+        gt_poses = gt["poses"]
+    else:
+        from radar_slam_tpu.io.synthetic import (SceneConfig,
+                                                 constant_motion_scene_rig)
+        rig = ((1.8, 0.9, 0.4), (1.8, -0.9, -0.4))
+        batches, gt = constant_motion_scene_rig(
+            7, num_frames=args.max_frames or 10, dt=cfg.frame_dt,
+            v_body=(8.0, 0.5), yaw_rate=0.1, rig=rig,
+            scene=SceneConfig(num_points=96,
+                              max_scatterers=cfg.max_scatterers))
+        gt_poses = np.asarray(gt["poses"])
+
+    out = rigmod.process_sequence_rig(batches, jax.random.key(0), cfg, rig)
+    m = planar_pose_errors(np.asarray(out.pose), np.asarray(gt_poses))
+    metrics = {
+        "rig": [list(s) for s in rig],
+        "frames": int(batches.range_m.shape[0]),
+        "position_rmse": m["position_rmse"],
+        "yaw_rmse": m["yaw_rmse"],
+        "mean_associations": float(np.asarray(out.num_associations).mean()),
+        "mean_yaw_rate": float(
+            np.asarray(out.motion.angular_velocity)[1:, 2].mean()),
+    }
+    print(json.dumps(metrics, indent=2, default=float))
+    if args.out:
+        Path(args.out).mkdir(parents=True, exist_ok=True)
+        with open(Path(args.out) / "rig_analysis.json", "w") as f:
             json.dump(metrics, f, indent=2, default=float)
     return 0
 
@@ -354,6 +407,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", default=None)
     sp.add_argument("--gt-fallback", action="store_true")
+    sp.add_argument("--rig", action="store_true",
+                    help="per-sensor mounted-rig pipeline (exact mounting "
+                         "geometry; yaw rate Doppler-observable)")
     sp.add_argument("--slam", action="store_true",
                     help="loop-closure pose-graph refinement")
     sp.set_defaults(fn=cmd_analyze)

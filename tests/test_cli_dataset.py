@@ -36,6 +36,9 @@ def mini_dataset(tmp_path):
     with h5py.File(root / "data" / "sequence_9" / "radar_data.h5", "w") as f:
         f.create_dataset("radar_data", data=radar)
         f.create_dataset("odometry", data=odo)
+    (root / "data" / "sensors.json").write_text(json.dumps({"sensors": [
+        {"id": 1, "x": 1.8, "y": 0.9, "yaw": 0.35},
+        {"id": 2, "x": 1.8, "y": -0.9, "yaw": -0.35}]}))
     return root
 
 
@@ -48,6 +51,32 @@ def test_cli_analyze_dataset(mini_dataset, capsys):
     assert m["frames_processed"] == 6
     # Stationary ego, static world: estimated motion should be ~zero.
     assert m["position_rmse"] < 0.5
+
+
+def test_cli_analyze_dataset_rig(mini_dataset, capsys):
+    """Per-sensor rig path over the mini dataset: sensors.json mounts are
+    picked up and the stationary ego stays near the origin."""
+    rc = cli_main(["analyze", "--rig", "--dataset", str(mini_dataset),
+                   "--seq", "sequence_9", "--max-frames", "6"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[:out.rindex("}") + 1])
+    assert m["frames"] == 6
+    assert m["rig"] == [[1.8, 0.9, 0.35], [1.8, -0.9, -0.35]]
+    assert m["position_rmse"] < 0.5
+
+
+def test_loader_rig_batches(mini_dataset):
+    from radar_slam_tpu.io.radarscenes import RadarScenesLoader
+    loader = RadarScenesLoader(str(mini_dataset))
+    data = loader.load_sequence_data("sequence_9")
+    frames = loader.extract_radar_frames(data, 100.0)
+    batches, rig, gt = loader.frames_as_batches_rig(data, frames, 64)
+    assert batches.range_m.shape == (len(frames), 2, 64)
+    assert rig == ((1.8, 0.9, 0.35), (1.8, -0.9, -0.35))
+    # Sensor-frame azimuths must be the raw measurements (no mounting
+    # rotation applied by the loader).
+    assert np.abs(np.asarray(batches.azimuth_rad)).max() <= 0.8 + 1e-6
 
 
 def test_cli_evaluate(tmp_path, capsys):
