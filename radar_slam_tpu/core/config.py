@@ -200,6 +200,13 @@ class VelocityConfig:
     # default); "greedy" = the reference's power-ordered sequential claim
     # (velocity_solver_improved.py:100-126).
     association_method: str = "mutual"
+    # Doppler-bin radial velocities are ambiguous modulo lambda/(2 PRI)
+    # (~19.5 m/s at the reference PRI): ego speeds beyond ~9.7 m/s radial
+    # alias.  When enabled the solver unwraps each target's vr to the alias
+    # nearest a prediction from the previous motion (or, bootstrapping, the
+    # unambiguous apparent-velocity initial guess).  The reference has no
+    # equivalent -- its Doppler axis is mislabeled anyway (dechirp.py:242).
+    dealias_doppler: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -199,18 +199,64 @@ def refine_phase(assoc: Associations, x0: jax.Array, dt: jax.Array,
     return jnp.concatenate([v, x0[3:]])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "lambda_c", "mode"))
+def dealias_doppler(assoc: Associations, x_ref: jax.Array,
+                    v_unambiguous: float) -> Associations:
+    """Unwrap Doppler radial velocities to the alias nearest a prediction.
+
+    The range-Doppler map folds radial velocity into
+    [-v_unambiguous, +v_unambiguous) (span lambda/(2 PRI)); each target's vr
+    is shifted by the integer number of spans that brings it closest to the
+    prediction -[d, r x d].x_ref.  Any x_ref accurate to within one
+    half-span (~9.7 m/s at the reference PRI) recovers the true vr exactly."""
+    span = jnp.float32(2.0 * v_unambiguous)
+    vr_pred = -(design_matrix(assoc) @ x_ref)
+    k = jnp.round((vr_pred - assoc.vr_mps) / span)
+    return assoc._replace(vr_mps=assoc.vr_mps + k * span)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "lambda_c", "mode",
+                                    "v_unambiguous"))
 def solve_velocity(assoc: Associations, dt: jax.Array, lambda_c: float,
                    cfg: VelocityConfig,
                    prev_motion: Optional[jax.Array] = None,
-                   mode: Optional[str] = None) -> MotionEstimate:
+                   mode: Optional[str] = None,
+                   v_unambiguous: Optional[float] = None) -> MotionEstimate:
     """Full two-step 6-DoF solve; returns a :class:`MotionEstimate`.
 
     Replaces ``two_step_optimization`` + ``run_robust_optimization``
     (velocity_solver.py:178-305, advanced_velocity_optimization.py:410-490).
-    Deterministic -- no seeds, no restarts, no thread pools."""
+    Deterministic -- no seeds, no restarts, no thread pools.
+
+    Args:
+        v_unambiguous: the radar's unambiguous radial velocity
+            lambda/(4 PRI); enables Doppler de-aliasing when
+            ``cfg.dealias_doppler`` (see :func:`dealias_doppler`).
+    """
     mode = mode or cfg.mode
     n = assoc.num_valid
+
+    if cfg.dealias_doppler and v_unambiguous is not None:
+        # Reference motion for alias selection, chosen by CONSENSUS: among
+        # {previous motion, apparent-velocity initial guess, zero}, pick the
+        # candidate whose folded vr residuals agree with the most targets.
+        # This bootstraps fast starts from the (unambiguous) apparent
+        # velocities while degrading to the identity unwrap when
+        # associations are spurious (small tie-break bonuses prefer
+        # prev > zero > guess on equal support).
+        span = jnp.float32(2.0 * v_unambiguous)
+        prev = (prev_motion if prev_motion is not None
+                else jnp.zeros(6, jnp.float32))
+        cands = jnp.stack([prev, jnp.zeros(6, jnp.float32),
+                           smart_initial_guess(assoc, cfg)])        # [3, 6]
+        pred = -(cands @ design_matrix(assoc).T)                    # [3, K]
+        res = assoc.vr_mps[None, :] - pred
+        folded = res - span * jnp.round(res / span)
+        w = jnp.where(assoc.valid, 1.0, 0.0)
+        support = (jnp.sum((jnp.abs(folded) < 1.5) * w, axis=-1)
+                   / jnp.maximum(jnp.sum(w), 1.0))
+        best = jnp.argmax(support + jnp.array([2e-3, 1e-3, 0.0]))
+        assoc = dealias_doppler(assoc, cands[best], v_unambiguous)
 
     if mode == "doppler":
         x = solve_doppler(assoc, cfg, prev_motion)

@@ -79,7 +79,8 @@ def _block_body(signals_block: jax.Array, cfg: PipelineConfig,
     # Per-frame association + velocity solve (vmap over the block).
     def solve_one(cur, prv):
         assoc = associate_targets(cur, prv, dt, cfg.velocity)
-        return solve_velocity(assoc, dt, cfg.radar.lambda_c, cfg.velocity)
+        return solve_velocity(assoc, dt, cfg.radar.lambda_c, cfg.velocity,
+                              v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
     motion = jax.vmap(solve_one)(targets, prev)                 # [B, ...]
 

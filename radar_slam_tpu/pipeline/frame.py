@@ -102,7 +102,8 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
 
     motion = solve_velocity(assoc, jnp.float32(cfg.frame_dt),
                             cfg.radar.lambda_c, cfg.velocity,
-                            prev_motion=state.prev_motion)
+                            prev_motion=state.prev_motion,
+                            v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
     pose = jnp.where(
         motion.success,
@@ -262,7 +263,8 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
         assoc = assoc._replace(valid=assoc.valid & hp)
         return assoc.num_valid, solve_velocity(
             assoc, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
-            cfg.velocity)
+            cfg.velocity,
+            v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
     n_assoc, motion = jax.vmap(solve_one)(targets, prev, has_prev)
 

@@ -147,8 +147,10 @@ class EgoMotionPipeline:
         def solve_one(cur, prv, has_prev):
             assoc = associate_targets(cur, prv, cfg.frame_dt, cfg.velocity)
             assoc = assoc._replace(valid=assoc.valid & has_prev)
-            return solve_velocity(assoc, jnp.float32(cfg.frame_dt),
-                                  cfg.radar.lambda_c, cfg.velocity)
+            return solve_velocity(
+                assoc, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
+                cfg.velocity,
+                v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
         motions = jax.vmap(solve_one)(targets, prev, first_mask)
         jax.block_until_ready(motions)

@@ -140,7 +140,8 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
 
     motion = solve_velocity(assoc, jnp.float32(cfg.frame_dt),
                             cfg.radar.lambda_c, cfg.velocity,
-                            prev_motion=state.prev_motion)
+                            prev_motion=state.prev_motion,
+                            v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
     pose = jnp.where(
         motion.success,
