@@ -122,9 +122,22 @@ class DetectionConfig:
     # duplicates of strong targets that survive the local-max filter; the
     # reference has no equivalent (its duplicate peaks flow downstream).
     nms_radius: int = 2
-    guard_cells: int = 0               # CA-CFAR guard band (0 = plain threshold)
-    cfar_train_cells: int = 0          # >0 enables cell-averaging CFAR offset
+    guard_cells: int = 0               # CFAR guard band (0 = plain threshold)
+    cfar_train_cells: int = 0          # >0 enables the CFAR offset threshold
     cfar_offset_db: float = 12.0       # CFAR threshold over local noise estimate
+    # "ca" = cell-averaging over a 2-D training box; "os" = order-statistic
+    # over a cross of 4*train cells (rank os_rank), robust to heterogeneous
+    # clutter / dense multi-target scenes where CA's mean is dragged up by
+    # neighbouring returns and masks weak targets (ROADMAP item 5; the
+    # reference has only the fixed global threshold, dechirp.py:244-271).
+    cfar_mode: str = "ca"
+    os_rank: float = 0.75              # OS-CFAR order statistic quantile
+    # >0 enables an EMA clutter map carried across frames by the scan/
+    # streaming drivers: cells must exceed the background power map by
+    # clutter_offset_db.  Suppresses persistent returns (direct coupling,
+    # stationary clutter for a parked ego).  Warmup ~1/alpha frames.
+    clutter_map_alpha: float = 0.0
+    clutter_offset_db: float = 6.0
 
 
 @dataclasses.dataclass(frozen=True)

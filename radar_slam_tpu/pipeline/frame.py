@@ -31,6 +31,7 @@ from radar_slam_tpu.core.types import (Associations, Detections,
 from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.pose import planar_pose_step
 from radar_slam_tpu.motion.velocity import solve_velocity
+from radar_slam_tpu.signal import detect as detect_mod
 from radar_slam_tpu.signal.detect import detect_peaks
 from radar_slam_tpu.signal.rds import range_doppler_spectrum
 from radar_slam_tpu.signal.synth import synthesize_frame
@@ -42,6 +43,10 @@ class FrameState(NamedTuple):
     prev_valid: jax.Array        # scalar bool
     prev_motion: jax.Array       # [6]
     pose: jax.Array              # [3] planar (x, y, yaw)
+    # EMA background power map [R, D] (rig: [B, R, D]); present only when
+    # cfg.detection.clutter_map_alpha > 0 (cfg is static, so the pytree
+    # structure is consistent within any trace).
+    clutter: Optional[jax.Array] = None
 
 
 class FrameOutput(NamedTuple):
@@ -70,6 +75,13 @@ def _empty_targets(cfg: PipelineConfig) -> Targets:
                    valid=zb)
 
 
+def _clutter_shape(cfg: PipelineConfig):
+    R = cfg.radar.samples_per_chirp
+    D = (cfg.radar.num_chirps if cfg.chirp_subset is None
+         else cfg.chirp_subset[1] - cfg.chirp_subset[0])
+    return (R, D)
+
+
 def init_state(cfg: PipelineConfig,
                initial_pose: Optional[jax.Array] = None) -> FrameState:
     return FrameState(
@@ -79,6 +91,8 @@ def init_state(cfg: PipelineConfig,
         prev_motion=jnp.zeros(6, jnp.float32),
         pose=(initial_pose if initial_pose is not None
               else jnp.zeros(3, jnp.float32)),
+        clutter=(jnp.zeros(_clutter_shape(cfg), jnp.float32)
+                 if cfg.detection.clutter_map_alpha > 0 else None),
     )
 
 
@@ -92,7 +106,10 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
                                  doppler_window=cfg.doppler_window,
                                  use_pallas=cfg.use_pallas)
     det = detect_peaks(rds, cfg.radar, cfg.detection,
-                       use_pallas=cfg.use_pallas)
+                       use_pallas=cfg.use_pallas, clutter_lin=state.clutter)
+    clutter = (detect_mod.clutter_map_update(
+        state.clutter, rds, cfg.detection.clutter_map_alpha)
+        if state.clutter is not None else None)
     targets, smoother = aoa_robust.process_targets_robust(
         rds, det, state.smoother, cfg.radar, cfg.aoa, method=cfg.aoa.method)
 
@@ -119,6 +136,7 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
         prev_motion=jnp.where(motion.success, motion.params,
                               state.prev_motion),
         pose=pose,
+        clutter=clutter,
     )
     out = FrameOutput(
         motion=motion,

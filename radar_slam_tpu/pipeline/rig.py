@@ -39,6 +39,7 @@ from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.pose import planar_pose_step
 from radar_slam_tpu.motion.velocity import solve_velocity
 from radar_slam_tpu.pipeline.frame import FrameOutput, FrameState
+from radar_slam_tpu.signal import detect as detect_mod
 from radar_slam_tpu.signal.detect import detect_peaks
 from radar_slam_tpu.signal.rds import range_doppler_spectrum
 from radar_slam_tpu.signal.synth import synthesize_frame
@@ -68,6 +69,7 @@ def init_rig_state(cfg: PipelineConfig, rig: Rig,
     empty = _empty_targets(cfg)
     merged = jax.tree.map(
         lambda x: jnp.concatenate([x] * B, axis=0), empty)
+    from radar_slam_tpu.pipeline.frame import _clutter_shape
     return FrameState(
         smoother=smoother,
         prev_targets=merged,
@@ -75,6 +77,8 @@ def init_rig_state(cfg: PipelineConfig, rig: Rig,
         prev_motion=jnp.zeros(6, jnp.float32),
         pose=(initial_pose if initial_pose is not None
               else jnp.zeros(3, jnp.float32)),
+        clutter=(jnp.zeros((B,) + _clutter_shape(cfg), jnp.float32)
+                 if cfg.detection.clutter_map_alpha > 0 else None),
     )
 
 
@@ -110,20 +114,23 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
     mount_xy, mount_yaw = rig_arrays(rig)
     keys = jax.random.split(key, B)
 
-    def per_sensor(sc, k, sm):
+    def per_sensor(sc, k, sm, cl):
         sig = synthesize_frame(sc, cfg.radar, k)
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,
                                      use_pallas=cfg.use_pallas)
         det = detect_peaks(rds, cfg.radar, cfg.detection,
-                           use_pallas=cfg.use_pallas)
+                           use_pallas=cfg.use_pallas, clutter_lin=cl)
+        cl = (detect_mod.clutter_map_update(
+            cl, rds, cfg.detection.clutter_map_alpha)
+            if cl is not None else None)
         targets, sm = aoa_robust.process_targets_robust(
             rds, det, sm, cfg.radar, cfg.aoa, method=cfg.aoa.method)
-        return targets, sm
+        return targets, sm, cl
 
-    targets_b, smoother = jax.vmap(per_sensor)(scatterers, keys,
-                                               state.smoother)   # [B, K, ...]
+    targets_b, smoother, clutter = jax.vmap(per_sensor)(
+        scatterers, keys, state.smoother, state.clutter)         # [B, K, ...]
     targets_b = jax.vmap(_to_vehicle_frame)(targets_b, mount_xy, mount_yaw)
 
     # Merge sensors: [B, K] -> [B*K]; static block layout.
@@ -157,6 +164,7 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
         prev_motion=jnp.where(motion.success, motion.params,
                               state.prev_motion),
         pose=pose,
+        clutter=clutter,
     )
     out = FrameOutput(
         motion=motion,

@@ -56,6 +56,25 @@ def _box_mean2d(x: jax.Array, size: int) -> jax.Array:
     return s / n
 
 
+def _os_noise(p_lin: jax.Array, train: int, guard: int,
+              rank: float) -> jax.Array:
+    """Order-statistic noise estimate per cell [R, D].
+
+    Training cells are a cross of ``train`` cells per side beyond the guard
+    band along both axes (4*train samples per cell); the estimate is the
+    ``rank``-quantile order statistic -- unlike the CA mean it ignores up to
+    (1-rank) of the training cells being contaminated by other targets.
+    Rolled (wrap-around) shifts keep everything static-shape; edge cells see
+    the opposite border, which the range gate discards anyway."""
+    shifts = []
+    for o in range(guard + 1, guard + train + 1):
+        shifts += [jnp.roll(p_lin, o, axis=0), jnp.roll(p_lin, -o, axis=0),
+                   jnp.roll(p_lin, o, axis=1), jnp.roll(p_lin, -o, axis=1)]
+    stack = jnp.stack(shifts)                                  # [4T, R, D]
+    k = min(int(round(rank * (stack.shape[0] - 1))), stack.shape[0] - 1)
+    return jnp.sort(stack, axis=0)[k]
+
+
 def power_spectrum_db(rds: jax.Array) -> jax.Array:
     """Non-coherent power map [R, D] in dB from RDS [A, R, D]
     (dechirp.py:234-238, integrated over antennas)."""
@@ -63,18 +82,36 @@ def power_spectrum_db(rds: jax.Array) -> jax.Array:
     return 10.0 * jnp.log10(p + 1e-12)
 
 
+def clutter_map_update(clutter_lin: jax.Array, rds: jax.Array,
+                       alpha: float) -> jax.Array:
+    """Exponential-moving-average background power map (linear domain).
+
+    Persistent returns (direct coupling, stationary clutter for a parked
+    ego) accumulate into the map and are suppressed by the clutter
+    threshold; transient targets do not.  The map starts at zero (no effect)
+    and warms up over ~1/alpha frames."""
+    p = jnp.mean(jnp.abs(rds) ** 2, axis=0)
+    return (1.0 - alpha) * clutter_lin + alpha * p
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "det", "use_pallas"))
 def detect_peaks(rds: jax.Array, cfg: RadarConfig,
-                 det: DetectionConfig, use_pallas: bool = False) -> Detections:
+                 det: DetectionConfig, use_pallas: bool = False,
+                 clutter_lin: jax.Array | None = None) -> Detections:
     """Extract the top-K range-Doppler peaks from an RDS cube [A, R, D].
 
     Returns a masked static-shape :class:`Detections` (K = det.max_detections),
     sorted by descending power.  ``use_pallas`` routes the power/local-max/
     CFAR stage through the fused Pallas kernel (ops/cfar_pallas.py).
+    ``clutter_lin`` is an optional [R, D] background power map (see
+    :func:`clutter_map_update`); cells must additionally exceed it by
+    ``det.clutter_offset_db``.
     """
     K = det.max_detections
     R, D = rds.shape[-2:]
 
+    if use_pallas and det.cfar_mode != "ca":
+        use_pallas = False  # the fused Pallas kernel implements CA only
     if use_pallas:
         from radar_slam_tpu.ops.cfar_pallas import cfar_mask
         power_db, pm = cfar_mask(
@@ -88,16 +125,22 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
         is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
         # Detection threshold: fixed dB level, optionally CFAR-relative.
         if det.cfar_train_cells > 0:
-            train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
-            guard = 2 * det.guard_cells + 1
             p_lin = 10.0 ** (power_db / 10.0)
-            noise = _box_mean2d(p_lin, train)
-            if det.guard_cells > 0:
-                # Exclude the guard+cell region from the training average.
-                g = _box_mean2d(p_lin, guard)
-                n_train = train * train
-                n_guard = guard * guard
-                noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
+            if det.cfar_mode == "os":
+                noise = _os_noise(p_lin, det.cfar_train_cells,
+                                  det.guard_cells, det.os_rank)
+            elif det.cfar_mode == "ca":
+                train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
+                guard = 2 * det.guard_cells + 1
+                noise = _box_mean2d(p_lin, train)
+                if det.guard_cells > 0:
+                    # Exclude the guard+cell region from the training average.
+                    g = _box_mean2d(p_lin, guard)
+                    n_train = train * train
+                    n_guard = guard * guard
+                    noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
+            else:
+                raise ValueError(f"Unknown cfar_mode: {det.cfar_mode}")
             noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
             thresh = jnp.maximum(noise_db + det.cfar_offset_db,
                                  det.threshold_db)
@@ -109,6 +152,10 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
     ranges = range_axis_m(cfg, R)                           # [R]
     gate = (ranges >= det.min_range) & (ranges <= det.max_range)
     mask = is_peak_above & gate[:, None]
+
+    if clutter_lin is not None:
+        clutter_db = 10.0 * jnp.log10(jnp.maximum(clutter_lin, 1e-12))
+        mask = mask & (power_db > clutter_db + det.clutter_offset_db)
 
     # Top-K by power over the masked map (static shape).
     score = jnp.where(mask, power_db, -jnp.inf).reshape(-1)

@@ -1,0 +1,133 @@
+"""OS-CFAR and clutter-map detection (ROADMAP item 5).
+
+The reference has only a fixed global dB threshold
+(dechirp.py:244-271); the rebuild adds CA-CFAR (tested elsewhere),
+order-statistic CFAR (robust to dense multi-target contamination of the
+training cells) and an EMA clutter map (suppresses persistent returns).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_slam_tpu.core.config import DetectionConfig, RadarConfig
+from radar_slam_tpu.signal.detect import (clutter_map_update, detect_peaks,
+                                          power_spectrum_db)
+
+CFG = RadarConfig(num_chirps=32)
+R, D = CFG.samples_per_chirp, CFG.num_chirps
+
+
+def _rds_from_power(power_lin: np.ndarray) -> jax.Array:
+    """Single-antenna complex RDS whose power map is exactly power_lin."""
+    return jnp.asarray(np.sqrt(power_lin)[None].astype(np.complex64))
+
+
+def _bin_of_range(rng_m: float) -> int:
+    return int(round(rng_m / CFG.range_resolution))
+
+
+def test_os_cfar_resists_training_contamination():
+    """A weak target inside a dense cluster of strong returns: the CA
+    training mean is dragged up and masks it; the OS order statistic is
+    not."""
+    rng = np.random.default_rng(0)
+    p = rng.exponential(1.0, (R, D)).astype(np.float64)  # unit noise floor
+
+    r0, d0 = _bin_of_range(50.0), D // 2
+    # Strong interferers contaminating the training band around the victim
+    # (several per side, 20 dB above noise), victim ~12 dB above noise:
+    # CA's 15x15 training mean rises to ~8.4 (threshold ~46 at +7 dB) and
+    # masks it; the OS 0.7-quantile of the cross (4/24 cells contaminated)
+    # stays at the noise level (~1.6, threshold ~8).
+    for dr in (-6, -4, 4, 6):
+        for dd in (-6, 0, 6):
+            p[r0 + dr, d0 + dd] = 100.0
+    p[r0, d0] = 15.0
+
+    rds = _rds_from_power(p)
+    base = DetectionConfig(threshold_db=-100.0, max_detections=32,
+                           cfar_train_cells=6, guard_cells=1,
+                           cfar_offset_db=7.0, nms_radius=0)
+
+    def hits(det_cfg):
+        det = detect_peaks(rds, CFG, det_cfg)
+        ok = np.asarray(det.valid)
+        rb, db = np.asarray(det.range_bin), np.asarray(det.doppler_bin)
+        return {(int(r), int(d)) for r, d in zip(rb[ok], db[ok])}
+
+    ca = hits(dataclasses.replace(base, cfar_mode="ca"))
+    os_ = hits(dataclasses.replace(base, cfar_mode="os", os_rank=0.7))
+    assert (r0, d0) not in ca, "victim unexpectedly survived CA"
+    assert (r0, d0) in os_, "OS-CFAR must recover the masked victim"
+    # Both must still see the strong interferers.
+    assert (r0 + 6, d0) in ca and (r0 + 6, d0) in os_
+
+
+def test_os_cfar_false_alarm_sanity():
+    """On pure noise, OS-CFAR with a 12 dB offset fires rarely."""
+    rng = np.random.default_rng(1)
+    p = rng.exponential(1.0, (R, D))
+    det_cfg = DetectionConfig(threshold_db=-100.0, max_detections=64,
+                              cfar_train_cells=8, guard_cells=1,
+                              cfar_offset_db=12.0, cfar_mode="os")
+    det = detect_peaks(_rds_from_power(p), CFG, det_cfg)
+    assert int(np.asarray(det.valid).sum()) <= 5
+
+
+def test_clutter_map_suppresses_persistent_return():
+    """A return present every frame accumulates into the clutter map and
+    stops being detected; a fresh target still fires."""
+    rng = np.random.default_rng(2)
+    noise = rng.exponential(0.01, (R, D))
+    rp, dp_ = _bin_of_range(20.0), D // 2 + 5
+    rt, dt_ = _bin_of_range(45.0), D // 2 - 7
+
+    persistent = noise.copy()
+    persistent[rp, dp_] = 5.0
+    rds_p = _rds_from_power(persistent)
+
+    det_cfg = DetectionConfig(threshold_db=-25.0, max_detections=16,
+                              clutter_map_alpha=0.5, clutter_offset_db=6.0)
+    clutter = jnp.zeros((R, D))
+    for _ in range(8):
+        clutter = clutter_map_update(clutter, rds_p, 0.5)
+
+    # New frame: persistent return + a fresh target.
+    fresh = persistent.copy()
+    fresh[rt, dt_] = 5.0
+    det = detect_peaks(_rds_from_power(fresh), CFG, det_cfg,
+                       clutter_lin=clutter)
+    ok = np.asarray(det.valid)
+    hits = {(int(r), int(d)) for r, d in
+            zip(np.asarray(det.range_bin)[ok], np.asarray(det.doppler_bin)[ok])}
+    assert (rt, dt_) in hits, "fresh target must be detected"
+    assert (rp, dp_) not in hits, "persistent return must be suppressed"
+
+    # Without the map both are detected.
+    det0 = detect_peaks(_rds_from_power(fresh), CFG, det_cfg)
+    ok0 = np.asarray(det0.valid)
+    hits0 = {(int(r), int(d)) for r, d in
+             zip(np.asarray(det0.range_bin)[ok0],
+                 np.asarray(det0.doppler_bin)[ok0])}
+    assert (rp, dp_) in hits0 and (rt, dt_) in hits0
+
+
+def test_clutter_map_in_scan_driver():
+    """The scan driver carries the clutter state without breaking recovery
+    (a moving scene never persists per cell, so accuracy is unchanged)."""
+    from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+    from radar_slam_tpu.pipeline import frame as pipe
+
+    cfg = complete_analysis_config()
+    cfg = dataclasses.replace(cfg, detection=dataclasses.replace(
+        cfg.detection, clutter_map_alpha=0.05, clutter_offset_db=6.0))
+    batches, gt = constant_motion_scene(
+        5, num_frames=8, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
+        scene=SceneConfig(num_points=48, max_scatterers=cfg.max_scatterers))
+    out = pipe.process_sequence(batches, jax.random.key(0), cfg)
+    v = np.asarray(out.motion.velocity)[1:]
+    np.testing.assert_allclose(v[:, 0], 8.0, atol=0.3)
