@@ -17,11 +17,13 @@ import jax
 import jax.numpy as jnp
 
 from radar_slam_tpu.core.config import RadarConfig
-from radar_slam_tpu.core.geometry import steering_vector, wrap_angle
+from radar_slam_tpu.core.geometry import (steering_vector, ura_steering_vector,
+                                          wrap_angle)
 
 
 def angle_confidence(signatures: jax.Array, angles_deg: jax.Array,
-                     cfg: RadarConfig) -> jax.Array:
+                     cfg: RadarConfig,
+                     el_deg: jax.Array | None = None) -> jax.Array:
     """Confidence scores [K] in [0, 1] (robust_angle_estimation.py:88-138).
 
     Components (weights 0.4 / 0.3 / 0.3, ``:134-136``):
@@ -30,8 +32,16 @@ def angle_confidence(signatures: jax.Array, angles_deg: jax.Array,
     - SNR proxy min(1, log10(mean power / 20th-percentile power) / 3)
       (``:124-131``).
     """
-    A = signatures.shape[-1]
-    sv = steering_vector(jnp.deg2rad(angles_deg), A, cfg.spacing, cfg.lambda_c)
+    az_rad = jnp.deg2rad(angles_deg)
+    if cfg.num_antennas_el > 1:
+        el_rad = (jnp.deg2rad(el_deg) if el_deg is not None
+                  else jnp.zeros_like(az_rad))
+        sv = ura_steering_vector(az_rad, el_rad, cfg.num_antennas,
+                                 cfg.num_antennas_el, cfg.spacing,
+                                 cfg.spacing_el, cfg.lambda_c)
+    else:
+        sv = steering_vector(az_rad, cfg.num_antennas, cfg.spacing,
+                             cfg.lambda_c)
 
     sig_power = jnp.sum(jnp.abs(signatures) ** 2, axis=-1)          # [K]
     corr = jnp.abs(jnp.sum(jnp.conj(sv) * signatures, axis=-1))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from radar_slam_tpu.core.config import AoAConfig, RadarConfig
-from radar_slam_tpu.core.geometry import steering_matrix
+from radar_slam_tpu.core.geometry import steering_matrix, ura_steering_vector
 
 
 def azimuth_grid_deg(aoa: AoAConfig) -> jax.Array:
@@ -33,8 +33,25 @@ def azimuth_grid_deg(aoa: AoAConfig) -> jax.Array:
                         aoa.num_grid_points).astype(jnp.float32)
 
 
+def elevation_grid_deg(aoa: AoAConfig) -> jax.Array:
+    """Elevation search grid in degrees (URA arrays)."""
+    return jnp.linspace(aoa.el_min_deg, aoa.el_max_deg,
+                        aoa.num_el_grid_points).astype(jnp.float32)
+
+
 def grid_steering_matrix(cfg: RadarConfig, aoa: AoAConfig) -> jax.Array:
-    """[G, A] steering matrix over the search grid."""
+    """Steering matrix over the search grid.
+
+    ULA: [G_az, A] over the azimuth grid.  URA (num_antennas_el > 1):
+    [G_el * G_az, A_total] over the joint el-major az-el grid."""
+    if cfg.num_antennas_el > 1:
+        az = jnp.deg2rad(azimuth_grid_deg(aoa))                 # [Gaz]
+        el = jnp.deg2rad(elevation_grid_deg(aoa))               # [Gel]
+        az_f = jnp.tile(az, aoa.num_el_grid_points)
+        el_f = jnp.repeat(el, aoa.num_grid_points)
+        return ura_steering_vector(az_f, el_f, cfg.num_antennas,
+                                   cfg.num_antennas_el, cfg.spacing,
+                                   cfg.spacing_el, cfg.lambda_c)
     grid_rad = jnp.deg2rad(azimuth_grid_deg(aoa))
     return steering_matrix(grid_rad, cfg.num_antennas, cfg.spacing, cfg.lambda_c)
 
@@ -69,11 +86,49 @@ def beamforming_spectrum(signatures: jax.Array, steering: jax.Array) -> jax.Arra
     return (resp.real ** 2 + resp.imag ** 2)
 
 
+def _refine_peak_2d(spec: jax.Array, az_grid: jax.Array, el_grid: jax.Array):
+    """Joint (az, el) argmax + per-axis parabolic refinement.
+
+    Args:
+        spec: [K, G_el, G_az] power spectra.
+    Returns:
+        (az_deg [K], el_deg [K])."""
+    K, Gel, Gaz = spec.shape
+    flat = jnp.argmax(spec.reshape(K, -1), axis=-1)
+    ie, ia = flat // Gaz, flat % Gaz
+
+    def parab(ym, y0, yp, interior):
+        denom = ym - 2.0 * y0 + yp
+        d = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                  denom, 1.0), 0.0)
+        return jnp.where(interior, jnp.clip(d, -0.5, 0.5), 0.0)
+
+    k = jnp.arange(K)
+    y0 = spec[k, ie, ia]
+    da = parab(spec[k, ie, jnp.clip(ia - 1, 0, Gaz - 1)], y0,
+               spec[k, ie, jnp.clip(ia + 1, 0, Gaz - 1)],
+               (ia > 0) & (ia < Gaz - 1))
+    de = parab(spec[k, jnp.clip(ie - 1, 0, Gel - 1), ia], y0,
+               spec[k, jnp.clip(ie + 1, 0, Gel - 1), ia],
+               (ie > 0) & (ie < Gel - 1))
+    az_step = az_grid[1] - az_grid[0] if Gaz > 1 else jnp.float32(0.0)
+    el_step = el_grid[1] - el_grid[0] if Gel > 1 else jnp.float32(0.0)
+    return az_grid[ia] + da * az_step, el_grid[ie] + de * el_step
+
+
 def estimate_beamforming(signatures: jax.Array, cfg: RadarConfig,
                          aoa: AoAConfig, refine: bool = True):
-    """Batched beamforming AoA.  Returns (angles_deg [K], spectra [K, G])."""
+    """Batched beamforming AoA.  Returns (angles_deg [K], spectra [K, G]).
+
+    ULA only; URA arrays go through :func:`estimate_angles_2d`."""
     grid = azimuth_grid_deg(aoa)
     spec = beamforming_spectrum(signatures, grid_steering_matrix(cfg, aoa))
+    if cfg.num_antennas_el > 1:
+        az, _ = _refine_peak_2d(
+            spec.reshape(spec.shape[0], aoa.num_el_grid_points,
+                         aoa.num_grid_points), grid, elevation_grid_deg(aoa))
+        return az, spec
     if refine:
         ang = _refine_peak(spec, grid)
     else:
@@ -145,6 +200,11 @@ def estimate_music(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
     grid = azimuth_grid_deg(aoa)
     spec = music_spectrum(signatures, grid_steering_matrix(cfg, aoa),
                           num_sources, forward_backward)
+    if cfg.num_antennas_el > 1:
+        az, _ = _refine_peak_2d(
+            spec.reshape(spec.shape[0], aoa.num_el_grid_points,
+                         aoa.num_grid_points), grid, elevation_grid_deg(aoa))
+        return az, spec
     if refine:
         ang = _refine_peak(spec, grid)
     else:
@@ -170,6 +230,25 @@ def estimate_esprit(signatures: jax.Array, cfg: RadarConfig) -> jax.Array:
     return jnp.rad2deg(jnp.arcsin(jnp.clip(arg, -1.0, 1.0)))
 
 
+def estimate_esprit_ura(signatures: jax.Array, cfg: RadarConfig):
+    """Batched URA ESPRIT: (az_deg [K], el_deg [K]).
+
+    Shift invariance along azimuth columns gives u_y = cos(el) sin(az),
+    along elevation rows gives u_z = sin(el); solved jointly."""
+    K = signatures.shape[0]
+    s = signatures.reshape(K, cfg.num_antennas_el, cfg.num_antennas)
+    phi_az = jnp.angle(jnp.sum(jnp.conj(s[..., :-1]) * s[..., 1:],
+                               axis=(-2, -1)))
+    phi_el = jnp.angle(jnp.sum(jnp.conj(s[:, :-1, :]) * s[:, 1:, :],
+                               axis=(-2, -1)))
+    u_y = phi_az * cfg.lambda_c / (2.0 * jnp.pi * cfg.spacing)
+    u_z = phi_el * cfg.lambda_c / (2.0 * jnp.pi * cfg.spacing_el)
+    el = jnp.arcsin(jnp.clip(u_z, -1.0, 1.0))
+    cos_el = jnp.maximum(jnp.cos(el), 1e-3)
+    az = jnp.arcsin(jnp.clip(u_y / cos_el, -1.0, 1.0))
+    return jnp.rad2deg(az), jnp.rad2deg(el)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "aoa", "method"))
 def estimate_angles(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
                     method: str = "beamforming",
@@ -182,5 +261,37 @@ def estimate_angles(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
     if method == "music":
         return estimate_music(signatures, cfg, aoa, num_sources)
     if method == "esprit":
+        if cfg.num_antennas_el > 1:
+            return estimate_esprit_ura(signatures, cfg)[0], None
         return estimate_esprit(signatures, cfg), None
     raise ValueError(f"Unknown method: {method}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "aoa", "method"))
+def estimate_angles_2d(signatures: jax.Array, cfg: RadarConfig,
+                       aoa: AoAConfig, method: str = "beamforming",
+                       num_sources: jax.Array | int = 1):
+    """Joint azimuth-elevation estimation (URA; ROADMAP item 4).
+
+    Returns (az_deg [K], el_deg [K], spectra [K, G] or None).  For ULA
+    configs (num_antennas_el == 1) elevation is identically zero and the
+    result matches :func:`estimate_angles`."""
+    if cfg.num_antennas_el == 1:
+        az, spec = estimate_angles(signatures, cfg, aoa, method, num_sources)
+        return az, jnp.zeros_like(az), spec
+
+    if method == "esprit":
+        az, el = estimate_esprit_ura(signatures, cfg)
+        return az, el, None
+    steering = grid_steering_matrix(cfg, aoa)
+    if method == "beamforming":
+        spec = beamforming_spectrum(signatures, steering)
+    elif method == "music":
+        spec = music_spectrum(signatures, steering, num_sources)
+    else:
+        raise ValueError(f"Unknown method: {method}")
+    az, el = _refine_peak_2d(
+        spec.reshape(spec.shape[0], aoa.num_el_grid_points,
+                     aoa.num_grid_points),
+        azimuth_grid_deg(aoa), elevation_grid_deg(aoa))
+    return az, el, spec

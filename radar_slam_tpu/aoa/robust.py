@@ -57,13 +57,16 @@ def process_targets_robust(rds: jax.Array, detections: Detections,
 
     # Initial angle estimate (reference uses beamforming in the robust path,
     # :237-245; MUSIC/ESPRIT supported for the basic-estimator parity).
-    angles_deg, _ = estimators.estimate_angles(
+    # Joint az-el for URA arrays (elevation is zero for ULA).
+    angles_deg, el_deg, _ = estimators.estimate_angles_2d(
         signatures, cfg, aoa, method=method, num_sources=num_sources)
 
     # 3-part confidence (:88-138).
-    conf = conf_mod.angle_confidence(signatures, angles_deg, cfg)
+    conf = conf_mod.angle_confidence(signatures, angles_deg, cfg, el_deg)
 
     # Temporal smoothing keyed by (range_bin, doppler_bin) (:380, :274-330).
+    # Azimuth only; elevation (URA) stays per-frame -- its grid is coarse and
+    # the solver weights it through the same confidence.
     if smooth:
         det_keys = detections.range_bin * D + detections.doppler_bin
         state, angles_deg, conf = smoothing.update(
@@ -85,6 +88,7 @@ def process_targets_robust(rds: jax.Array, detections: Detections,
         is_reliable=is_reliable,
         spatial_signature=signatures,
         valid=keep,
+        elevation_rad=jnp.deg2rad(el_deg),
     )
     return targets, state
 

@@ -39,11 +39,18 @@ class RadarConfig:
     chirp_duration: float = 40.0e-6    # chirp duration [s]
     pri: float = 100.0e-6              # pulse repetition interval [s]
     num_chirps: int = 64               # chirps per frame (slow time)
-    num_antennas: int = 8              # ULA elements
+    num_antennas: int = 8              # azimuth (ULA) elements
     sampling_rate: float = 10.0e6      # ADC rate [Hz]
     noise_power: float = 0.01          # AWGN power added during synthesis
     antenna_spacing: Optional[float] = None  # None -> lambda/2
     c: float = C_REF                   # propagation speed [m/s]
+    # Planar (URA) array: >1 adds an elevation axis of num_antennas_el rows
+    # (total elements num_antennas * num_antennas_el, flattened row-major
+    # [el, az] along the antenna axis everywhere).  The reference is ULA /
+    # azimuth-only -- its "3-D" pipeline can never observe elevation or v_z
+    # (ROADMAP item 4); a URA makes both observable.
+    num_antennas_el: int = 1
+    antenna_spacing_el: Optional[float] = None  # None -> lambda/2
 
     # ---- derived quantities (all Python floats; safe under jit tracing) ----
     @property
@@ -55,6 +62,17 @@ class RadarConfig:
     def spacing(self) -> float:
         """Element spacing [m]; default half wavelength (simulate_raw.py:72)."""
         return self.antenna_spacing if self.antenna_spacing is not None else self.lambda_c / 2.0
+
+    @property
+    def spacing_el(self) -> float:
+        """Elevation-row spacing [m]; default half wavelength."""
+        return (self.antenna_spacing_el if self.antenna_spacing_el is not None
+                else self.lambda_c / 2.0)
+
+    @property
+    def total_antennas(self) -> int:
+        """Total array elements (num_antennas_el rows x num_antennas cols)."""
+        return self.num_antennas * self.num_antennas_el
 
     @property
     def samples_per_chirp(self) -> int:
@@ -152,6 +170,11 @@ class AoAConfig:
     search_max_deg: float = 90.0
     search_resolution_deg: float = 2.0   # complete-analysis point (:72); 0.5 in basic
     method: str = "beamforming"          # beamforming | music | esprit
+    # Elevation search grid, used when RadarConfig.num_antennas_el > 1
+    # (joint az-el spectrum over the URA).
+    el_min_deg: float = -20.0
+    el_max_deg: float = 20.0
+    el_resolution_deg: float = 2.0
     num_sources: int = 1
     # robust estimator:
     temporal_window: int = 3             # robust_angle_estimation.py:73 (ref default 5)
@@ -171,6 +194,11 @@ class AoAConfig:
     def num_grid_points(self) -> int:
         return int(round((self.search_max_deg - self.search_min_deg)
                          / self.search_resolution_deg)) + 1
+
+    @property
+    def num_el_grid_points(self) -> int:
+        return int(round((self.el_max_deg - self.el_min_deg)
+                         / self.el_resolution_deg)) + 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,32 @@ def steering_matrix(grid_rad: jax.Array, num_antennas: int, spacing: float,
     return steering_vector(grid_rad, num_antennas, spacing, lambda_c)
 
 
+def ura_steering_vector(azimuth_rad: jax.Array, elevation_rad: jax.Array,
+                        num_az: int, num_el: int,
+                        spacing_az: float, spacing_el: float,
+                        lambda_c: float) -> jax.Array:
+    """Steering vector(s) for a planar (URA) array, flattened row-major
+    [el, az] along the antenna axis.
+
+    Array plane is y (azimuth columns) x z (elevation rows); for unit LOS
+    u = [cos el cos az, cos el sin az, sin el] element (m, n) sees phase
+    2 pi (n d_az u_y + m d_el u_z) / lambda.  For num_el = 1 this reduces
+    exactly to the ULA :func:`steering_vector`.
+
+    Returns complex64 [..., num_el * num_az]."""
+    az = jnp.asarray(azimuth_rad, jnp.float32)
+    el = jnp.asarray(elevation_rad, jnp.float32)
+    u_y = jnp.cos(el) * jnp.sin(az)                                # [...]
+    u_z = jnp.sin(el)
+    pos_az = jnp.arange(num_az, dtype=jnp.float32) * spacing_az    # [Naz]
+    pos_el = jnp.arange(num_el, dtype=jnp.float32) * spacing_el    # [Nel]
+    phase = (2.0 * jnp.pi / lambda_c) * (
+        u_y[..., None, None] * pos_az[None, :]
+        + u_z[..., None, None] * pos_el[:, None])                  # [...,Nel,Naz]
+    flat = phase.reshape(phase.shape[:-2] + (num_el * num_az,))
+    return jnp.exp(1j * flat.astype(jnp.float32)).astype(jnp.complex64)
+
+
 def direction_vector(azimuth_rad: jax.Array,
                      elevation_rad: jax.Array) -> jax.Array:
     """Unit line-of-sight direction(s) [..., 3]:

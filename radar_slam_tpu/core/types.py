@@ -9,7 +9,7 @@ pytrees automatically.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,13 +19,16 @@ class ScattererBatch(NamedTuple):
     """Padded scatterer set for one frame+sensor (loader output).
 
     Mirrors the reference scatterer DataFrame columns
-    (radarscenes_loader.py:245-252)."""
+    (radarscenes_loader.py:245-252).  ``elevation_rad`` is None for
+    azimuth-only sources (RadarScenes has no elevation; the reference is
+    ULA-only), or [S] elevations for URA synthesis."""
 
     range_m: jax.Array      # [S] float32
     azimuth_rad: jax.Array  # [S] float32
     rcs_db: jax.Array       # [S] float32
     vr: jax.Array           # [S] float32, radial velocity (range rate) [m/s]
     valid: jax.Array        # [S] bool
+    elevation_rad: Optional[jax.Array] = None  # [S] float32 or None
 
     @property
     def num_valid(self) -> jax.Array:
@@ -70,6 +73,8 @@ class Targets(NamedTuple):
     is_reliable: jax.Array        # [K] bool
     spatial_signature: jax.Array  # [K, A] complex64, unit power
     valid: jax.Array              # [K] bool
+    # Elevation estimates (URA arrays only; None when azimuth-only).
+    elevation_rad: Optional[jax.Array] = None  # [K] float32 or None
 
     @property
     def num_valid(self) -> jax.Array:
@@ -77,10 +82,16 @@ class Targets(NamedTuple):
 
     @property
     def position(self) -> jax.Array:
-        """Cartesian positions [K, 3] (ground-level assumption el=0)."""
-        z = jnp.zeros_like(self.range_m)
-        return jnp.stack([self.range_m * jnp.cos(self.azimuth_rad),
-                          self.range_m * jnp.sin(self.azimuth_rad), z], axis=-1)
+        """Cartesian positions [K, 3] (el = 0 when azimuth-only)."""
+        if self.elevation_rad is None:
+            z = jnp.zeros_like(self.range_m)
+            ce = 1.0
+        else:
+            z = self.range_m * jnp.sin(self.elevation_rad)
+            ce = jnp.cos(self.elevation_rad)
+        return jnp.stack([ce * self.range_m * jnp.cos(self.azimuth_rad),
+                          ce * self.range_m * jnp.sin(self.azimuth_rad), z],
+                         axis=-1)
 
 
 class Associations(NamedTuple):

@@ -143,6 +143,8 @@ def _to_device_batch(frames) -> ScattererBatch:
         rcs_db=jnp.asarray(stack["rcs_db"]),
         vr=jnp.asarray(stack["vr"]),
         valid=jnp.asarray(stack["valid"]),
+        elevation_rad=(jnp.asarray(stack["elevation_rad"])
+                       if "elevation_rad" in stack else None),
     )
 
 
@@ -180,6 +182,72 @@ def constant_motion_scene(seed: SeedLike, num_frames: int, dt: float,
         "poses": np.concatenate([path[:num_frames],
                                  yaws[:num_frames, None]], axis=-1),
         "velocity_body": np.array([v_body[0], v_body[1], 0.0]),
+        "yaw_rate": w,
+        "timestamps": np.arange(num_frames) * dt,
+    }
+    return _to_device_batch(frames), gt
+
+
+def constant_motion_scene_3d(seed: SeedLike, num_frames: int, dt: float,
+                             v_body: Tuple[float, float, float],
+                             yaw_rate: float,
+                             scene: SceneConfig = SceneConfig(),
+                             z_span: float = 10.0):
+    """3-D variant of :func:`constant_motion_scene`: world points carry
+    heights, observations carry elevations, and the ego moves with a full
+    3-D body velocity (vz makes the ego climb/descend) -- the workload that
+    requires a URA (RadarConfig.num_antennas_el > 1) to recover v_z.
+
+    Returns (ScattererBatch [F, S] with ``elevation_rad``, gt dict)."""
+    vb = np.array(v_body, np.float64)
+    w = float(yaw_rate)
+
+    yaws = w * dt * np.arange(num_frames + 1)
+    c, s = np.cos(yaws[:-1]), np.sin(yaws[:-1])
+    steps = np.stack([c * vb[0] - s * vb[1], s * vb[0] + c * vb[1],
+                      np.full(num_frames, vb[2])], axis=-1) * dt
+    path = np.concatenate([np.zeros((1, 3)), np.cumsum(steps, axis=0)])
+
+    world_xy, rcs = corridor_points(seed, scene, path[:, :2])
+    rng = _rng(seed)
+    world_z = rng.uniform(-z_span, z_span, len(world_xy))
+    world = np.concatenate([world_xy, world_z[:, None]], axis=-1)
+
+    frames = []
+    for i in range(num_frames):
+        cy, sy = np.cos(yaws[i]), np.sin(yaws[i])
+        rel = world - path[i][None, :]
+        xb = cy * rel[:, 0] + sy * rel[:, 1]
+        yb = -sy * rel[:, 0] + cy * rel[:, 1]
+        zb = rel[:, 2]
+        rng_m = np.sqrt(xb * xb + yb * yb + zb * zb)
+        rh = np.hypot(xb, yb)
+        az = np.arctan2(yb, xb)
+        el = np.arctan2(zb, np.maximum(rh, 1e-6))
+        d = np.stack([xb, yb, zb], -1) / np.maximum(rng_m[:, None], 1e-6)
+        # vr = -d . (v + w x p), planar yaw: w x p = (-w yb, w xb, 0).
+        vr = -(d[:, 0] * (vb[0] - w * yb) + d[:, 1] * (vb[1] + w * xb)
+               + d[:, 2] * vb[2])
+
+        n = len(world)
+        pad = scene.max_scatterers - n
+        assert pad >= 0
+
+        def z_(x):
+            return np.pad(np.asarray(x, np.float32), (0, pad))
+
+        observable = ((rng_m <= scene.max_range) & (rng_m >= 1.5)
+                      & (np.abs(az) <= scene.fov_rad / 2))
+        frames.append({
+            "range_m": z_(rng_m), "azimuth_rad": z_(az), "rcs_db": z_(rcs),
+            "vr": z_(vr), "elevation_rad": z_(el),
+            "valid": np.pad(observable, (0, pad)),
+        })
+
+    gt = {
+        "poses": np.concatenate([path[:num_frames, :2],
+                                 yaws[:num_frames, None]], axis=-1),
+        "velocity_body": vb,
         "yaw_rate": w,
         "timestamps": np.arange(num_frames) * dt,
     }
@@ -306,4 +374,5 @@ def pipeline_scatterer_pad(batch: ScattererBatch, cfg: PipelineConfig
     """Pad/trim a batch to the pipeline's static scatterer capacity."""
     from radar_slam_tpu.core.types import pad_to
     S = cfg.max_scatterers
-    return ScattererBatch(*[pad_to(x, S, axis=-1) for x in batch])
+    return ScattererBatch(*[pad_to(x, S, axis=-1) if x is not None else None
+                            for x in batch])

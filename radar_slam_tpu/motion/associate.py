@@ -112,7 +112,8 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
     dt = jnp.maximum(jnp.float32(dt), 1e-6)
     apparent_v = (current.position - previous.position[prev_idx]) / dt
 
-    el = jnp.zeros_like(current.azimuth_rad)
+    el = (current.elevation_rad if current.elevation_rad is not None
+          else jnp.zeros_like(current.azimuth_rad))
     if sensor_pos is None:
         direction = direction_vector(current.azimuth_rad, el)
     else:

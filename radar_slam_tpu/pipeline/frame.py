@@ -64,7 +64,7 @@ def _empty_targets(cfg: PipelineConfig) -> Targets:
     # Jitted: the axon TPU backend cannot create complex arrays in eager
     # mode (see utils/host.py); state init must run as a compiled program.
     K = cfg.detection.max_detections
-    A = cfg.radar.num_antennas
+    A = cfg.radar.total_antennas
     zf = jnp.zeros(K, jnp.float32)
     zi = jnp.zeros(K, jnp.int32)
     zb = jnp.zeros(K, bool)
@@ -72,7 +72,7 @@ def _empty_targets(cfg: PipelineConfig) -> Targets:
                    vr_mps=zf, power_db=zf, azimuth_rad=zf, confidence=zf,
                    num_sources=zi, is_multipath=zb, is_reliable=zb,
                    spatial_signature=jnp.zeros((K, A), jnp.complex64),
-                   valid=zb)
+                   valid=zb, elevation_rad=zf)
 
 
 def _clutter_shape(cfg: PipelineConfig):
@@ -238,14 +238,14 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
         R = estimators.signature_covariances(sigs)
         eigvals, _ = estimators.eigendecompose(R)
         num_sources, is_multi, _ = conf_mod.mdl_model_order(eigvals)
-        angles_deg, _ = estimators.estimate_angles(
+        angles_deg, el_deg, _ = estimators.estimate_angles_2d(
             sigs, cfg.radar, cfg.aoa, method=cfg.aoa.method,
             num_sources=num_sources)
-        conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar)
-        return det, sigs, keep, num_sources, is_multi, angles_deg, conf
+        conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar, el_deg)
+        return det, sigs, keep, num_sources, is_multi, angles_deg, el_deg, conf
 
-    det, sigs, keep, num_sources, is_multi, angles_deg, conf = jax.vmap(
-        heavy)(scatterers, keys)
+    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
+     conf) = jax.vmap(heavy)(scatterers, keys)
 
     # ---- phase B1: smoother scan (the only truly sequential per-target
     # state), producing smoothed angles per frame ---------------------------
@@ -267,7 +267,8 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
         vr_mps=det.vr_mps, power_db=det.power_db,
         azimuth_rad=jnp.deg2rad(angles_s), confidence=conf_s,
         num_sources=num_sources, is_multipath=is_multi,
-        is_reliable=reliable, spatial_signature=sigs, valid=keep)  # [F, ...]
+        is_reliable=reliable, spatial_signature=sigs, valid=keep,
+        elevation_rad=jnp.deg2rad(el_deg))                         # [F, ...]
 
     # ---- phase B2: association + velocity solve, batched over frames ------
     # Association only needs the PREVIOUS frame's targets -- a shift, not a

@@ -88,13 +88,23 @@ def _to_vehicle_frame(targets: Targets, mount_xy: jax.Array,
 
     range_m / azimuth_rad become vehicle-origin polar (so
     ``Targets.position`` is the true vehicle-frame position); vr_mps stays
-    sensor-radial -- the solver consumes it with the sensor LOS direction."""
+    sensor-radial -- the solver consumes it with the sensor LOS direction.
+    With a URA the horizontal projection range*cos(el) is used; sensor
+    mounts are planar (z = 0)."""
+    ce = (jnp.cos(targets.elevation_rad)
+          if targets.elevation_rad is not None else 1.0)
     az_v = targets.azimuth_rad + mount_yaw
-    x = mount_xy[0] + targets.range_m * jnp.cos(az_v)
-    y = mount_xy[1] + targets.range_m * jnp.sin(az_v)
+    rh = targets.range_m * ce
+    x = mount_xy[0] + rh * jnp.cos(az_v)
+    y = mount_xy[1] + rh * jnp.sin(az_v)
+    rh_v = jnp.hypot(x, y)
+    if targets.elevation_rad is None:
+        return targets._replace(range_m=rh_v, azimuth_rad=jnp.arctan2(y, x))
+    z = targets.range_m * jnp.sin(targets.elevation_rad)
     return targets._replace(
-        range_m=jnp.hypot(x, y),
+        range_m=jnp.hypot(rh_v, z),
         azimuth_rad=jnp.arctan2(y, x),
+        elevation_rad=jnp.arctan2(z, rh_v),
     )
 
 

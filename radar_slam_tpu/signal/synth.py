@@ -87,7 +87,7 @@ def synthesize_frame(scatterers: ScattererBatch,
     Returns:
         complex64 [num_antennas, num_chirps, samples_per_chirp].
     """
-    A, C, S = cfg.num_antennas, cfg.num_chirps, cfg.samples_per_chirp
+    A, C, S = cfg.total_antennas, cfg.num_chirps, cfg.samples_per_chirp
     lam = cfg.lambda_c
     k_rate = cfg.chirp_rate
 
@@ -95,6 +95,8 @@ def synthesize_frame(scatterers: ScattererBatch,
     az = scatterers.azimuth_rad.astype(jnp.float32)
     rcs = scatterers.rcs_db.astype(jnp.float32)
     vr = scatterers.vr.astype(jnp.float32)
+    el = (scatterers.elevation_rad.astype(jnp.float32)
+          if scatterers.elevation_rad is not None else jnp.zeros_like(az))
 
     ok = (scatterers.valid
           & (r > 0.0)
@@ -127,9 +129,19 @@ def synthesize_frame(scatterers: ScattererBatch,
     cycles_dopp = (-2.0 / lam) * vr[:, None] * (c_idx[None, :] * cfg.pri)
     e_dopp = expj_cycles(cycles_dopp)                                    # [Sc,C]
 
-    # Antenna factor (simulate_raw.py:142).
-    pos = jnp.arange(A, dtype=jnp.float32) * cfg.spacing
-    cycles_ant = (1.0 / lam) * pos[None, :] * jnp.sin(az)[:, None]
+    # Antenna factor (simulate_raw.py:142), generalized to a URA flattened
+    # row-major [el, az] (geometry.ura_steering_vector layout): element
+    # (m, n) sees cycles (n d_az u_y + m d_el u_z) / lambda with
+    # u = [cos el cos az, cos el sin az, sin el].  ULA (num_antennas_el = 1)
+    # reduces to d_a sin(az) / lambda exactly at el = 0.
+    u_y = jnp.cos(el) * jnp.sin(az)                                      # [Sc]
+    u_z = jnp.sin(el)
+    pos_az = jnp.arange(cfg.num_antennas, dtype=jnp.float32) * cfg.spacing
+    pos_el = jnp.arange(cfg.num_antennas_el, dtype=jnp.float32) * cfg.spacing_el
+    cycles_ant = (1.0 / lam) * (
+        u_y[:, None, None] * pos_az[None, None, :]
+        + u_z[:, None, None] * pos_el[None, :, None])        # [Sc, Ael, Aaz]
+    cycles_ant = cycles_ant.reshape(-1, A)
     e_ant = expj_cycles(cycles_ant) * amp[:, None]                       # [Sc,A]
 
     # Contract scatterers on the MXU: [Sc, A*C]^T @ [Sc, S] -> [A*C, S].
