@@ -146,3 +146,96 @@ def update(state: SmootherState, det_keys: jax.Array, angles_deg: jax.Array,
     return (SmootherState(keys=keys, angles=angles, confs=confs,
                           count=count, age=age),
             sm_angle, sm_conf)
+
+
+def smooth_windowed(det_keys: jax.Array, angles_deg: jax.Array,
+                    confidences: jax.Array, valid: jax.Array,
+                    aoa: AoAConfig) -> Tuple[jax.Array, jax.Array]:
+    """Scan-free temporal smoothing over a whole sequence at once.
+
+    Equivalent to scanning :func:`update` over frames, re-derived as a
+    parallel windowed gather: the slot table only ever feeds the smoother the
+    last W RAW measurements of each track, and a track is a backward chain of
+    same-key detections with consecutive frame gaps <= track_max_age + 1.
+    So for every detection we (a) find its predecessor (same key, nearest
+    frame within the gap bound) with one batched comparison per lag, then
+    (b) follow that pointer W-1 times -- all embarrassingly parallel over
+    [F, K], no sequential state.
+
+    Exactness caveat: assumes the slot table never evicts a *fresh* track
+    (capacity pressure), which holds whenever track_capacity >= the number
+    of tracks updated within the last track_max_age frames (default 256 slots
+    vs <= 50 reliable targets/frame x 3 frames).
+
+    Args:
+        det_keys: [F, K] int32 track keys (r_bin * n_doppler + d_bin).
+        angles_deg, confidences: [F, K] raw per-detection measurements.
+        valid: [F, K] detections that participate (matches the ``valid``
+            argument of :func:`update`).
+
+    Returns:
+        (smoothed_angles_deg [F, K], smoothed_confs [F, K]).
+    """
+    F, K = det_keys.shape
+    L = aoa.track_max_age + 1            # max frame gap within a track
+    W = aoa.temporal_window
+
+    key_v = jnp.where(valid, det_keys, jnp.int32(-1))
+
+    # --- predecessor pointers: nearest same-key detection within L frames --
+    pred_f = jnp.zeros((F, K), jnp.int32)
+    pred_j = jnp.zeros((F, K), jnp.int32)
+    found = jnp.zeros((F, K), bool)
+    frame_idx = jnp.arange(F, dtype=jnp.int32)[:, None]
+    for g in range(1, L + 1):
+        prev_keys = jnp.concatenate(
+            [jnp.full((min(g, F), K), -2, jnp.int32), key_v[:-g]], axis=0)[:F]
+        eq = (key_v[:, :, None] == prev_keys[:, None, :]) & (key_v >= 0)[:, :, None]
+        m = jnp.any(eq, axis=-1)
+        j = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        new = m & ~found
+        pred_f = jnp.where(new, frame_idx - g, pred_f)
+        pred_j = jnp.where(new, j, pred_j)
+        found |= new
+
+    # --- follow the chain W-1 hops, gathering raw (angle, conf) entries ----
+    entries_ang = [angles_deg]           # newest first
+    entries_conf = [confidences]
+    entries_ok = [jnp.ones((F, K), bool)]
+    cur_f, cur_j, cur_ok = pred_f, pred_j, found
+    for w in range(1, W):
+        cf = jnp.clip(cur_f, 0, F - 1)
+        entries_ang.append(angles_deg[cf, cur_j])
+        entries_conf.append(confidences[cf, cur_j])
+        entries_ok.append(cur_ok)
+        if w < W - 1:
+            nf = pred_f[cf, cur_j]
+            nj = pred_j[cf, cur_j]
+            cur_ok = cur_ok & found[cf, cur_j]
+            cur_f, cur_j = nf, nj
+
+    ang = jnp.stack(entries_ang, axis=-1)        # [F, K, W] newest first
+    cnf = jnp.stack(entries_conf, axis=-1)
+    ok = jnp.stack(entries_ok, axis=-1)
+
+    # --- same math as _window_smooth ---------------------------------------
+    weights = jnp.where(ok, cnf, 0.0)
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)
+    n_ok = jnp.maximum(jnp.sum(ok, axis=-1, keepdims=True), 1)
+    weights = jnp.where(wsum > 0, weights / jnp.maximum(wsum, 1e-30),
+                        ok / n_ok)
+    ang_rad = jnp.deg2rad(ang)
+    circ_deg = jnp.rad2deg(jnp.arctan2(
+        jnp.sum(weights * jnp.sin(ang_rad), axis=-1),
+        jnp.sum(weights * jnp.cos(ang_rad), axis=-1)))
+    prev = ang[..., 1]                           # previous raw measurement
+    blended = (aoa.smoothing_factor * circ_deg
+               + (1.0 - aoa.smoothing_factor) * prev)
+    conf = jnp.sum(jnp.where(ok, cnf, 0.0), axis=-1) / n_ok[..., 0]
+
+    single = ~found                              # count <= 1
+    sm_angle = jnp.where(single, angles_deg, blended)
+    sm_conf = jnp.where(single, confidences, conf)
+    sm_angle = jnp.where(valid, sm_angle, angles_deg)
+    sm_conf = jnp.where(valid, sm_conf, confidences)
+    return sm_angle, sm_conf

@@ -282,6 +282,12 @@ class PipelineConfig:
     # Both are numerically identical; XLA already fuses these chains into the
     # surrounding program, so it is the default.
     use_pallas: bool = False
+    # RDS transform backend: "fft" (XLA FFT), "matmul" (DFTs as XLA matmuls
+    # with dechirp/window/DC folded into the DFT matrices), or "pallas"
+    # (fused single-kernel: frame resident in VMEM, both DFT matmuls on the
+    # MXU, one HBM read + one write).  See signal/rds.py.
+    fft_mode: str = "fft"
+    dft_precision: str = "highest"       # matmul/pallas MXU precision
 
     @property
     def frame_dt(self) -> float:

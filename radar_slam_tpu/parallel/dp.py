@@ -43,7 +43,9 @@ def _frame_targets_scan(signals_block: jax.Array, cfg: PipelineConfig
     def step(sm_state, sig):
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
-                                     doppler_window=cfg.doppler_window)
+                                     doppler_window=cfg.doppler_window,
+                                     fft_mode=cfg.fft_mode,
+                                     dft_precision=cfg.dft_precision)
         det = detect_peaks(rds, cfg.radar, cfg.detection)
         targets, sm_state = aoa_robust.process_targets_robust(
             rds, det, sm_state, cfg.radar, cfg.aoa, method=cfg.aoa.method)

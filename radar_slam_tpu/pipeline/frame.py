@@ -104,7 +104,9 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
     rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
                                  chirp_subset=cfg.chirp_subset,
                                  doppler_window=cfg.doppler_window,
-                                 use_pallas=cfg.use_pallas)
+                                 use_pallas=cfg.use_pallas,
+                                 fft_mode=cfg.fft_mode,
+                                 dft_precision=cfg.dft_precision)
     det = detect_peaks(rds, cfg.radar, cfg.detection,
                        use_pallas=cfg.use_pallas, clutter_lin=state.clutter)
     clutter = (detect_mod.clutter_map_update(
@@ -228,7 +230,9 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,
-                                     use_pallas=cfg.use_pallas)
+                                     use_pallas=cfg.use_pallas,
+                                     fft_mode=cfg.fft_mode,
+                                     dft_precision=cfg.dft_precision)
         det = detect_peaks(rds, cfg.radar, cfg.detection,
                            use_pallas=cfg.use_pallas)
         sigs = extract_spatial_signatures(rds, det)
@@ -247,18 +251,12 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
     (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
      conf) = jax.vmap(heavy)(scatterers, keys)
 
-    # ---- phase B1: smoother scan (the only truly sequential per-target
-    # state), producing smoothed angles per frame ---------------------------
-    def smooth_step(sm, inp):
-        det_i, keep_i, ang_i, conf_i = inp
-        det_keys = det_i.range_bin * D + det_i.doppler_bin
-        sm, ang_s, conf_s = smoothing.update(sm, det_keys, ang_i, conf_i,
-                                             keep_i, cfg.aoa)
-        return sm, (ang_s, conf_s)
-
-    _, (angles_s, conf_s) = jax.lax.scan(
-        smooth_step, smoothing.init_state(cfg.aoa),
-        (det, keep, angles_deg, conf))
+    # ---- phase B1: temporal smoothing, scan-free -- the slot-table scan is
+    # re-derived as a parallel windowed gather over [F, K] (exact under the
+    # no-capacity-eviction condition; see smoothing.smooth_windowed) --------
+    det_keys = det.range_bin * D + det.doppler_bin            # [F, K]
+    angles_s, conf_s = smoothing.smooth_windowed(
+        det_keys, angles_deg, conf, keep, cfg.aoa)
 
     reliable = keep & (conf_s >= cfg.aoa.confidence_threshold) & ~is_multi
     targets = Targets(

@@ -95,7 +95,8 @@ class EgoMotionPipeline:
         cfg = self.cfg
         rds = jax.vmap(lambda s: range_doppler_spectrum(
             s, cfg.radar, window=cfg.window, chirp_subset=cfg.chirp_subset,
-            doppler_window=cfg.doppler_window))(signals)
+            doppler_window=cfg.doppler_window, fft_mode=cfg.fft_mode,
+            dft_precision=cfg.dft_precision))(signals)
         det = jax.vmap(lambda r: detect_peaks(r, cfg.radar, cfg.detection))(rds)
         jax.block_until_ready((rds, det))
         self._rds, self._detections = rds, det

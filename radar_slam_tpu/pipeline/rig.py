@@ -129,7 +129,9 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,
-                                     use_pallas=cfg.use_pallas)
+                                     use_pallas=cfg.use_pallas,
+                                     fft_mode=cfg.fft_mode,
+                                     dft_precision=cfg.dft_precision)
         det = detect_peaks(rds, cfg.radar, cfg.detection,
                            use_pallas=cfg.use_pallas, clutter_lin=cl)
         cl = (detect_mod.clutter_map_update(

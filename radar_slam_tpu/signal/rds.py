@@ -57,10 +57,73 @@ def doppler_to_radial_velocity(doppler_hz: jax.Array, cfg: RadarConfig) -> jax.A
     return -doppler_hz * jnp.float32(cfg.lambda_c) / 2.0
 
 
+def _complex_matmul(x: jax.Array, w: jax.Array, precision) -> jax.Array:
+    """x [..., N] @ w [N, M] as four real f32 MXU matmuls.
+
+    Splitting re/im explicitly (instead of relying on XLA's complex-dot
+    decomposition) guarantees f32 accumulation on the MXU via
+    ``preferred_element_type``."""
+    xr, xi = jnp.real(x), jnp.imag(x)
+    wr, wi = jnp.real(w), jnp.imag(w)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+    return jax.lax.complex(dot(xr, wr) - dot(xi, wi),
+                           dot(xr, wi) + dot(xi, wr))
+
+
+def range_dft_matrix(S: int, mix: jax.Array, dc_removal: bool) -> jax.Array:
+    """[S, S] complex matrix folding the whole range chain into one matmul:
+    diag(mix) @ (I - J/S) @ W, with W[s, r] = e^{+2j pi s r / S} (the e^{+j}
+    kernel = S * ifft, see range_doppler_spectrum)."""
+    s = jnp.arange(S, dtype=jnp.float32)
+    w_rng = jnp.exp(1j * (2.0 * jnp.pi / S) * jnp.outer(s, s)
+                    ).astype(jnp.complex64)
+    if dc_removal:
+        # (I - J/S) @ W: subtract the column means (each column of W summed
+        # over rows is S*delta(r==0), so only the r=0 column changes -- but
+        # keep the general projector so any mix/window composes correctly).
+        w_rng = w_rng - jnp.mean(w_rng, axis=0, keepdims=True)
+    return mix[:, None] * w_rng
+
+
+def doppler_dft_matrix(C: int, doppler_window: Optional[str]) -> jax.Array:
+    """[C, C] complex matrix folding the Doppler chain: optional slow-time
+    window on the rows, e^{-j} DFT, fftshift baked into the column order."""
+    c = jnp.arange(C, dtype=jnp.float32)
+    k_shifted = jnp.roll(jnp.arange(C, dtype=jnp.float32), C // 2)
+    w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C) * jnp.outer(c, k_shifted)
+                    ).astype(jnp.complex64)
+    if doppler_window is not None:
+        wd = get_window(doppler_window, C).astype(jnp.float32)
+        w_dop = wd[:, None] * w_dop
+    return w_dop
+
+
+def _rds_matmul(signals: jax.Array, mix: jax.Array, dc_removal: bool,
+                doppler_window: Optional[str], precision) -> jax.Array:
+    """RDS via two DFT matmuls on the MXU (see range_doppler_spectrum).
+
+    The range chain (dechirp * window, DC projector, e^{+j} DFT) collapses
+    into ONE [S, S] complex matrix applied to fast time, and the Doppler
+    chain (slow-time window, e^{-j} DFT, fftshift) into one [C, C] matrix
+    applied to slow time.  XLA's FFT on these sizes is memory-layout bound
+    (~300 GFLOP/s measured); the matmul form rides the MXU instead."""
+    S = signals.shape[-1]
+    C = signals.shape[-2]
+    w_rng = range_dft_matrix(S, mix, dc_removal)
+    w_dop = doppler_dft_matrix(C, doppler_window)
+    rng = _complex_matmul(signals, w_rng, precision)       # [..., A, C, S_r]
+    rds = _complex_matmul(jnp.swapaxes(rng, -1, -2), w_dop, precision)
+    return rds.astype(jnp.complex64)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "dc_removal", "input_domain",
-                     "chirp_subset", "doppler_window", "use_pallas"))
+                     "chirp_subset", "doppler_window", "use_pallas",
+                     "fft_mode", "dft_precision"))
 def range_doppler_spectrum(signals: jax.Array,
                            cfg: RadarConfig,
                            window: str = "hann",
@@ -68,7 +131,9 @@ def range_doppler_spectrum(signals: jax.Array,
                            input_domain: str = "baseband",
                            chirp_subset: Optional[Tuple[int, int]] = None,
                            doppler_window: Optional[str] = None,
-                           use_pallas: bool = False) -> jax.Array:
+                           use_pallas: bool = False,
+                           fft_mode: str = "fft",
+                           dft_precision: str = "highest") -> jax.Array:
     """Compute the RDS cube.
 
     Args:
@@ -85,6 +150,11 @@ def range_doppler_spectrum(signals: jax.Array,
         chirp_subset: optional (start, end) static slow-time slice
             (dechirp.py:183-187).
         doppler_window: optional slow-time window (reference has none).
+        fft_mode: "fft" (XLA FFT) or "matmul" (both DFTs as MXU matmuls
+            with dechirp/window/DC folded into the DFT matrices; faster on
+            TPU where XLA's FFT is memory-layout bound).
+        dft_precision: matmul precision for fft_mode="matmul"
+            ("default"|"high"|"highest").
 
     Returns:
         complex64 [..., A, range_bins, doppler_bins]; Doppler axis fftshifted,
@@ -102,6 +172,18 @@ def range_doppler_spectrum(signals: jax.Array,
         mix = w.astype(jnp.complex64)
     else:
         raise ValueError(f"Unknown input domain: {input_domain}")
+
+    if fft_mode == "matmul":
+        prec = {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[dft_precision]
+        return _rds_matmul(signals, mix, dc_removal, doppler_window, prec)
+    if fft_mode == "pallas":
+        from radar_slam_tpu.ops.rds_pallas import rds_fused
+        return rds_fused(signals, mix, dc_removal, doppler_window,
+                         precision_name=dft_precision)
+    if fft_mode != "fft":
+        raise ValueError(f"Unknown fft_mode: {fft_mode}")
 
     if use_pallas:
         from radar_slam_tpu.ops.dechirp_pallas import dechirp_window_dc

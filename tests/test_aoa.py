@@ -161,3 +161,39 @@ def test_basic_process_targets_music():
     targets = robust.process_targets(rds, det, CFG, AOA, method="music")
     best = int(np.argmax(np.asarray(targets.power_db)))
     assert abs(np.rad2deg(float(targets.azimuth_rad[best])) - np.rad2deg(-0.2)) < 2.0
+
+
+def test_smooth_windowed_matches_scanned_update():
+    """The scan-free windowed smoother must reproduce the slot-table scan
+    exactly (under the documented no-capacity-eviction condition)."""
+    import dataclasses
+
+    import numpy as np
+
+    for seed, W in [(0, 3), (1, 4), (2, 5)]:
+        aoa = dataclasses.replace(AOA, temporal_window=W)
+        F, K = 50, 12
+        rng = np.random.RandomState(seed)
+        base = np.arange(K, dtype=np.int32) * 7          # persistent tracks
+        keys = np.tile(base, (F, 1))
+        valid = rng.rand(F, K) > 0.25                    # gaps
+        flip = rng.rand(F, K) > 0.9                      # track breaks
+        keys = np.where(flip, rng.randint(500, 600, size=(F, K)),
+                        keys).astype(np.int32)
+        ang = jnp.asarray(rng.uniform(-80, 80, size=(F, K)).astype(np.float32))
+        conf = jnp.asarray(rng.uniform(0.1, 1.0, size=(F, K)).astype(np.float32))
+        keys = jnp.asarray(keys)
+        valid = jnp.asarray(valid)
+
+        st = smoothing.init_state(aoa)
+        ref_a, ref_c = [], []
+        for f in range(F):
+            st, a, c = smoothing.update(st, keys[f], ang[f], conf[f],
+                                        valid[f], aoa)
+            ref_a.append(a)
+            ref_c.append(c)
+        a_win, c_win = smoothing.smooth_windowed(keys, ang, conf, valid, aoa)
+        np.testing.assert_allclose(np.asarray(jnp.stack(ref_a)),
+                                   np.asarray(a_win), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.stack(ref_c)),
+                                   np.asarray(c_win), atol=1e-5)

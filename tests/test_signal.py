@@ -6,6 +6,8 @@ recovery) but with hard asserts on range, Doppler AND radial velocity, which
 the reference cannot assert because its synthesizer never applies a slow-time
 Doppler ramp (simulate_raw.py:192 unused)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,3 +135,33 @@ def test_chirp_subset():
     sig = synthesize_frame(sc, CFG, jax.random.key(0))
     rds = range_doppler_spectrum(sig, CFG, chirp_subset=(0, 32))
     assert rds.shape == (8, 400, 32)
+
+
+def test_fft_mode_matmul_matches_fft():
+    """DFT-as-matmul RDS (MXU path) must match the XLA FFT path."""
+    k1, k2 = jax.random.split(jax.random.key(3))
+    sig = (jax.random.normal(k1, (8, 32, 400))
+           + 1j * jax.random.normal(k2, (8, 32, 400))).astype(jnp.complex64)
+    cfg32 = dataclasses.replace(CFG, num_chirps=32)
+    for dw in (None, "hann"):
+        a = np.asarray(range_doppler_spectrum(sig, cfg32, doppler_window=dw))
+        b = np.asarray(range_doppler_spectrum(sig, cfg32, doppler_window=dw,
+                                              fft_mode="matmul"))
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-3, rel
+
+
+def test_fft_mode_pallas_matches_fft():
+    """Fused single-kernel Pallas RDS must match the XLA FFT path
+    (interpret mode on CPU; compiled path covered by the TPU bench)."""
+    from jax.experimental.pallas import tpu as pltpu
+    k1, k2 = jax.random.split(jax.random.key(4))
+    sig = (jax.random.normal(k1, (2, 8, 32, 400))
+           + 1j * jax.random.normal(k2, (2, 8, 32, 400))).astype(jnp.complex64)
+    cfg32 = dataclasses.replace(CFG, num_chirps=32)
+    a = np.asarray(range_doppler_spectrum(sig, cfg32, doppler_window="hann"))
+    with pltpu.force_tpu_interpret_mode():
+        b = np.asarray(range_doppler_spectrum(sig, cfg32, doppler_window="hann",
+                                              fft_mode="pallas"))
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 1e-3, rel
