@@ -229,6 +229,19 @@ class VelocityConfig:
     two_step: bool = True                # v-only solve then full 6-DoF (:178)
     association_gate: float = 5.0        # cartesian gate [m] (improved :45)
     min_targets: int = 3                 # velocity_solver.py:202
+    # Huber scale [m/s] for the Doppler radial-velocity IRLS.  This is the
+    # robustness knob that rejects detections on MOVING objects (their vr
+    # contains the object's own motion -- the dominant real-data outlier
+    # class the reference's confidence machinery contends with,
+    # robust_angle_estimation.py:140-272).  Set very large to disable
+    # (ablation: tests/test_adversarial.py shows recovery then fails).
+    doppler_huber_mps: float = 0.5
+    # Use the Doppler-bin radial velocities as solve rows.  Disable for data
+    # whose Doppler axis is known-uninformative (the reference simulator's
+    # no-ramp quirk folds every target into the zero-Doppler bin); the solve
+    # then runs on apparent-velocity rows (which observe v AND omega) seeded
+    # into the phase refinement.
+    use_doppler_vr: bool = True
     # For a colocated sensor the radial observables satisfy d.(w x r) == 0
     # (r parallel to d), so the reference's 6-DoF model cannot observe w at
     # all -- its omega estimates are regularization artifacts.  The
@@ -259,6 +272,13 @@ class PoseConfig:
     smoothing_window: int = 5
     planar: bool = False                     # True -> x,y,yaw Euler update
                                              # (complete-analysis :208-210)
+    # When a frame's velocity solve fails (too few associations, dropped
+    # frame), dead-reckon the pose with the previous motion estimate instead
+    # of freezing it.  The reference freezes (worse: the complete-analysis
+    # path copies the GT pose into the estimate, radarscenes_complete_
+    # analysis.py:229-231); coasting keeps drift ~0 through short gaps under
+    # smooth motion.  Frame 0 coasts with zero motion either way.
+    coast_on_failure: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +308,13 @@ class PipelineConfig:
     # MXU, one HBM read + one write).  See signal/rds.py.
     fft_mode: str = "fft"
     dft_precision: str = "highest"       # matmul/pallas MXU precision
+    # Synthesis model used when the pipeline starts from scatterers:
+    # "tpu" (physics-fixed, signal/synth.py module docstring) or "reference"
+    # (reproduces the reference simulator's quirks -- no slow-time Doppler
+    # ramp, linspace time base; see synthesize_frame).  "reference" exists so
+    # the solver can be validated against data generated by a model it does
+    # NOT invert (anti-inverse-crime validation tier).
+    synth_fidelity: str = "tpu"
 
     @property
     def frame_dt(self) -> float:
@@ -322,6 +349,50 @@ def complete_analysis_config() -> PipelineConfig:
         velocity=VelocityConfig(max_velocity=30.0, max_angular_velocity=5.0,
                                 regularization_weight=0.01),
         pose=PoseConfig(planar=True),
+    )
+
+
+def reference_fidelity_config(noise_power: float = 1e-6) -> PipelineConfig:
+    """Operating point for data synthesized with ``fidelity="reference"``
+    (the adversarial anti-inverse-crime tier; VERDICT round-1 item 1).
+
+    Reference-mode data has NO slow-time Doppler ramp (simulate_raw.py
+    computes but never applies ``chirp_start_time``), so every target lands
+    in the zero-Doppler bin and the Doppler-bin radial velocity reads ~0 --
+    an observable the solver's model disagrees with.  The solve therefore
+    runs on the observables that survive the mismatch:
+
+    - ``use_doppler_vr=False``: the dead vr rows are dropped; the coarse
+      solve runs on apparent-velocity rows at full weight (they observe v
+      AND omega through the lever arm);
+    - the temporal carrier-phase differences then refine v (exact in both
+      models -- the range change between frames drives -4 pi dR / lambda
+      regardless of the intra-frame Doppler quirk), exactly the reference's
+      own structure of smart init + local refinement
+      (velocity_solver_improved.py:268-323);
+    - ``dealias_doppler=False``: unwrapping all-zero vr toward a prediction
+      would fabricate +/-19.5 m/s quanta.
+
+    OS-CFAR handles the crowded zero-Doppler column (every target shares it,
+    so CA's training mean is dragged up by neighbours).
+
+    Args:
+        noise_power: synthesis AWGN power.  The reference's own 0.01 puts
+            mid-range scatterers below the post-FFT noise floor (see
+            complete_analysis_config); pass 0.01 for the strict
+            graceful-degradation test, keep 1e-6 to test the structural
+            model mismatch at realistic SNR.
+    """
+    return PipelineConfig(
+        radar=RadarConfig(num_chirps=32, noise_power=noise_power),
+        detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
+                                  cfar_offset_db=12.0, cfar_mode="os"),
+        aoa=AoAConfig(search_resolution_deg=2.0, confidence_threshold=0.6,
+                      max_targets=50, temporal_window=3, track_capacity=64),
+        velocity=VelocityConfig(use_doppler_vr=False, dealias_doppler=False,
+                                apparent_velocity_weight=1.0),
+        pose=PoseConfig(planar=True),
+        synth_fidelity="reference",
     )
 
 

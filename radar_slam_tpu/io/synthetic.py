@@ -254,6 +254,216 @@ def constant_motion_scene_3d(seed: SeedLike, num_frames: int, dt: float,
     return _to_device_batch(frames), gt
 
 
+@dataclasses.dataclass(frozen=True)
+class MismatchConfig:
+    """Adversarial / model-mismatch scene options (VERDICT round-1 items 1-2).
+
+    Each knob makes the generated world disagree with an assumption the
+    solver's model bakes in; :func:`mismatch_scene` composes them on top of
+    the constant-twist ego profile.  All default to "off" (= the clean
+    :func:`constant_motion_scene` world).
+    """
+
+    # Moving rigid actors (other vehicles): points with their OWN world
+    # velocity.  Their vr / phase / apparent-velocity observables encode the
+    # actor's motion, not the ego's -- the dominant real-data outlier class
+    # (RadarScenes scenes are full of movers; the reference's robust tier
+    # exists for this, robust_angle_estimation.py:140-272).
+    num_movers: int = 0
+    mover_points: int = 3          # scatterers per actor (extended body)
+    mover_speed_min: float = 3.0   # world speed range [m/s]
+    mover_speed_max: float = 10.0
+    mover_rcs_db: float = 22.0     # vehicles are strong reflectors
+    # Coherent traffic: all actors drive ANTI-parallel to the ego's initial
+    # heading (oncoming lane) instead of in random directions.  Their biases
+    # add up instead of cancelling -- the hardest case for an unrobust
+    # estimator (random directions partially average out).
+    mover_oncoming: bool = False
+    # Transient clutter: per-frame spurious returns at random (range, az, vr)
+    # uncorrelated across frames (rain / multipath ghosts).  Violates the
+    # static-world association assumption.
+    clutter_per_frame: int = 0
+    clutter_rcs_db: float = 14.0
+    clutter_vr_span: float = 15.0
+    # Extended targets: every world point becomes a Gaussian cluster of
+    # sub-scatterers (multi-cell returns; violates the point-target model
+    # behind peak detection / signature extraction).
+    extent_points: int = 1
+    extent_size_m: float = 0.8
+    # Sensor timing jitter: frames observed at t_i = i dt + U(-j, j) dt while
+    # the solver integrates with the nominal dt.
+    dt_jitter_frac: float = 0.0
+    # Dropped frames: all returns lost with this probability (frames 0-1 are
+    # never dropped so association can bootstrap).
+    drop_frame_prob: float = 0.0
+
+
+def twist_poses(t: np.ndarray, v_body: np.ndarray, yaw_rate: float
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact constant-twist planar poses at times ``t``.
+
+    Returns (xy [T, 2], yaw [T]).  Closed form of the continuous motion
+    x'(t) = R(w t) v_body:  for |w| > 0,
+    x(t) = (vx sin(wt) + vy (cos(wt) - 1)) / w,
+    y(t) = (vx (1 - cos(wt)) + vy sin(wt)) / w."""
+    t = np.asarray(t, np.float64)
+    vx, vy = float(v_body[0]), float(v_body[1])
+    w = float(yaw_rate)
+    yaw = w * t
+    if abs(w) < 1e-9:
+        xy = np.stack([vx * t, vy * t], axis=-1)
+    else:
+        sw, cw = np.sin(yaw), np.cos(yaw)
+        xy = np.stack([(vx * sw + vy * (cw - 1.0)) / w,
+                       (vx * (1.0 - cw) + vy * sw) / w], axis=-1)
+    return xy, yaw
+
+
+def _observe_relative(world_xy: np.ndarray, world_vel: np.ndarray,
+                      rcs_db: np.ndarray, ego_xy: np.ndarray, ego_yaw: float,
+                      v_body: np.ndarray, max_range: float, min_range: float,
+                      fov_rad: float) -> Dict[str, np.ndarray]:
+    """Unpadded body-frame observation of (possibly moving) world points.
+
+    vr is the exact range rate  d_w . (u - v_ego_w)  expressed in the body
+    frame:  vr = d_b . (R^T u) - d_b . v_body  (static u = 0 reduces to
+    :func:`observe_points`'s -d_b . v_body; colocated-sensor rotation adds
+    nothing radially)."""
+    world_xy = np.asarray(world_xy, np.float64)
+    c, s = np.cos(ego_yaw), np.sin(ego_yaw)
+    rel = world_xy - np.asarray(ego_xy)[None, :]
+    xb = c * rel[:, 0] + s * rel[:, 1]
+    yb = -s * rel[:, 0] + c * rel[:, 1]
+    rng_m = np.hypot(xb, yb)
+    az = np.arctan2(yb, xb)
+    d = np.stack([xb, yb], axis=-1) / np.maximum(rng_m[:, None], 1e-6)
+    u = np.asarray(world_vel, np.float64)
+    ub = np.stack([c * u[:, 0] + s * u[:, 1],
+                   -s * u[:, 0] + c * u[:, 1]], axis=-1)
+    vr = (d[:, 0] * (ub[:, 0] - v_body[0])
+          + d[:, 1] * (ub[:, 1] - v_body[1]))
+    observable = ((rng_m <= max_range) & (rng_m >= min_range)
+                  & (np.abs(az) <= fov_rad / 2))
+    return {"range_m": rng_m.astype(np.float32),
+            "azimuth_rad": az.astype(np.float32),
+            "rcs_db": np.asarray(rcs_db, np.float32),
+            "vr": vr.astype(np.float32),
+            "valid": observable}
+
+
+def mismatch_scene(seed: SeedLike, num_frames: int, dt: float,
+                   v_body: Tuple[float, float], yaw_rate: float,
+                   scene: SceneConfig = SceneConfig(),
+                   mm: MismatchConfig = MismatchConfig()):
+    """Adversarial scene generator: constant-twist ego through a static
+    corridor world plus the :class:`MismatchConfig` perturbations.
+
+    Returns (ScattererBatch [F, S] on device, gt dict as in
+    :func:`constant_motion_scene` plus ``mover_fraction`` -- the mean share
+    of observable returns that belong to moving actors)."""
+    rng = _rng(seed)
+    vb = np.array([v_body[0], v_body[1]], np.float64)
+    w = float(yaw_rate)
+
+    t_nom = np.arange(num_frames) * dt
+    jitter = rng.uniform(-1.0, 1.0, num_frames) * mm.dt_jitter_frac * dt
+    jitter[0] = 0.0
+    t_act = t_nom + jitter
+    path, yaws = twist_poses(t_act, vb, w)
+
+    # Static world along the nominal path.
+    path_dense, _ = twist_poses(np.linspace(0.0, num_frames * dt, 64), vb, w)
+    world, rcs = corridor_points(seed, scene, path_dense)
+    if mm.extent_points > 1:
+        reps = int(mm.extent_points)
+        offs = rng.normal(0.0, mm.extent_size_m, (len(world) * reps, 2))
+        world = np.repeat(world, reps, axis=0) + offs
+        # Split the return power across the cluster.
+        rcs = np.repeat(rcs, reps) - 10.0 * np.log10(reps)
+    static_vel = np.zeros_like(world)
+
+    # Moving actors: spawned ahead of the ego, each a small rigid cluster
+    # with a constant world velocity.
+    mover_xy = np.zeros((0, 2))
+    mover_vel = np.zeros((0, 2))
+    mover_rcs = np.zeros(0)
+    if mm.num_movers > 0:
+        idx = rng.integers(0, len(path), mm.num_movers)
+        head = yaws[idx] + rng.uniform(-0.5, 0.5, mm.num_movers)
+        dist = rng.uniform(scene.min_range + 5.0, scene.max_range * 0.7,
+                           mm.num_movers)
+        centers = path[idx] + np.stack([np.cos(head) * dist,
+                                        np.sin(head) * dist], axis=-1)
+        speed = rng.uniform(mm.mover_speed_min, mm.mover_speed_max,
+                            mm.num_movers)
+        if mm.mover_oncoming:
+            heading0 = float(np.arctan2(vb[1], vb[0]))
+            vdir = np.full(mm.num_movers, heading0 + np.pi) \
+                + rng.uniform(-0.15, 0.15, mm.num_movers)
+        else:
+            vdir = rng.uniform(-np.pi, np.pi, mm.num_movers)
+        vel = np.stack([np.cos(vdir), np.sin(vdir)], axis=-1) * speed[:, None]
+        body = rng.normal(0.0, 1.2, (mm.num_movers, mm.mover_points, 2))
+        mover_xy = (centers[:, None, :] + body).reshape(-1, 2)
+        mover_vel = np.repeat(vel, mm.mover_points, axis=0)
+        mover_rcs = np.full(len(mover_xy), mm.mover_rcs_db) \
+            + rng.uniform(-3.0, 3.0, len(mover_xy))
+
+    dropped = rng.uniform(0.0, 1.0, num_frames) < mm.drop_frame_prob
+    dropped[:2] = False
+
+    frames = []
+    mover_frac = []
+    for i in range(num_frames):
+        obs_s = _observe_relative(world, static_vel, rcs, path[i], yaws[i],
+                                  vb, scene.max_range, 1.5, scene.fov_rad)
+        parts = [obs_s]
+        if len(mover_xy):
+            mxy = mover_xy + mover_vel * t_act[i]
+            obs_m = _observe_relative(mxy, mover_vel, mover_rcs, path[i],
+                                      yaws[i], vb, scene.max_range, 1.5,
+                                      scene.fov_rad)
+            parts.append(obs_m)
+        if mm.clutter_per_frame > 0:
+            n = mm.clutter_per_frame
+            parts.append({
+                "range_m": rng.uniform(2.0, scene.max_range, n
+                                       ).astype(np.float32),
+                "azimuth_rad": rng.uniform(-scene.fov_rad / 2,
+                                           scene.fov_rad / 2, n
+                                           ).astype(np.float32),
+                "rcs_db": (mm.clutter_rcs_db
+                           + rng.uniform(-4.0, 4.0, n)).astype(np.float32),
+                "vr": rng.uniform(-mm.clutter_vr_span, mm.clutter_vr_span, n
+                                  ).astype(np.float32),
+                "valid": np.ones(n, bool),
+            })
+        cat = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        if dropped[i]:
+            cat["valid"] = np.zeros_like(cat["valid"])
+        n_total = len(cat["range_m"])
+        assert n_total <= scene.max_scatterers, \
+            f"{n_total} scatterers exceed capacity {scene.max_scatterers}"
+        pad = scene.max_scatterers - n_total
+        n_static = len(world)
+        vis = cat["valid"]
+        n_mover_vis = int(vis[n_static:n_static + len(mover_xy)].sum())
+        mover_frac.append(n_mover_vis / max(int(vis.sum()), 1))
+        frames.append({
+            k: (np.pad(v, (0, pad)) if k != "valid"
+                else np.pad(v, (0, pad))) for k, v in cat.items()})
+
+    gt = {
+        "poses": np.concatenate([path, yaws[:, None]], axis=-1),
+        "velocity_body": np.array([v_body[0], v_body[1], 0.0]),
+        "yaw_rate": w,
+        "timestamps": t_act,
+        "mover_fraction": float(np.mean(mover_frac)),
+        "dropped": dropped,
+    }
+    return _to_device_batch(frames), gt
+
+
 def observe_points_from_sensor(world_xy: np.ndarray, rcs_db: np.ndarray,
                                ego_xy: np.ndarray, ego_yaw: float,
                                v_body: np.ndarray, yaw_rate: float,

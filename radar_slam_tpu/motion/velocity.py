@@ -128,12 +128,16 @@ def solve_doppler(assoc: Associations, cfg: VelocityConfig,
     Model: vr_i = -[d_i, r_i x d_i] . x.  Returns x [6]."""
     A = -design_matrix(assoc)
     b = assoc.vr_mps
-    w0 = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
+    w_base = jnp.where(assoc.valid, jnp.maximum(assoc.weight, 1e-3), 0.0)
+    # Doppler-bin vr rows can be disabled (use_doppler_vr=False) for data
+    # whose Doppler axis carries no ego-motion information.
+    w0 = w_base if cfg.use_doppler_vr else jnp.zeros_like(w_base)
     if cfg.use_apparent_velocity:
         A2, b2 = _apparent_velocity_rows(assoc)
         A = jnp.concatenate([A, A2], axis=0)
         b = jnp.concatenate([b, b2])
-        w_app = cfg.apparent_velocity_weight * jnp.concatenate([w0, w0])
+        w_app = cfg.apparent_velocity_weight * jnp.concatenate(
+            [w_base, w_base])
         w0 = jnp.concatenate([w0, w_app])
     t_w = jnp.float32(cfg.temporal_weight * cfg.regularization_weight
                       if prev_motion is not None else 0.0)
@@ -143,7 +147,7 @@ def solve_doppler(assoc: Associations, cfg: VelocityConfig,
         prior = _prior_matrix(cfg, full)
         def body(_, x):
             res = b - A @ x
-            w = w0 * _huber_weights(res, 0.5)  # 0.5 m/s robust scale
+            w = w0 * _huber_weights(res, cfg.doppler_huber_mps)
             return _ridge_solve(A, b, w, prior, x_prior, t_w)
         return jax.lax.fori_loop(0, 3, body, x)
 

@@ -230,6 +230,45 @@ def _cmd_analyze_rig(args, cfg) -> int:
     return 0
 
 
+def _adversarial_suite(cfg, frames: int):
+    """Run the mismatch-scenario suite (tests/test_adversarial.py scenarios)
+    and return per-scenario metrics vs the parity bound."""
+    import jax
+    from radar_slam_tpu.core.config import reference_fidelity_config
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+    from radar_slam_tpu.io.synthetic import (MismatchConfig, SceneConfig,
+                                             mismatch_scene)
+    from radar_slam_tpu.pipeline import frame as pipe_mod
+
+    scenarios = {
+        "reference_fidelity": (reference_fidelity_config(), MismatchConfig()),
+        "moving_objects": (cfg, MismatchConfig(
+            num_movers=5, mover_points=3, mover_oncoming=True,
+            mover_speed_min=6.0, mover_speed_max=12.0)),
+        "transient_clutter": (cfg, MismatchConfig(clutter_per_frame=16)),
+        "extended_targets": (cfg, MismatchConfig(extent_points=3,
+                                                 extent_size_m=0.8)),
+        "timing_jitter": (cfg, MismatchConfig(dt_jitter_frac=0.2)),
+        "dropped_frames": (cfg, MismatchConfig(drop_frame_prob=0.25)),
+    }
+    results = {}
+    for name, (scfg, mm) in scenarios.items():
+        scene = SceneConfig(num_points=48,
+                            max_scatterers=scfg.max_scatterers)
+        batches, gt = mismatch_scene(3, frames, scfg.frame_dt, (8.0, 0.5),
+                                     0.1, scene, mm)
+        out = pipe_mod.process_sequence(batches, jax.random.key(0), scfg)
+        m = planar_pose_errors(np.asarray(out.pose),
+                               np.asarray(gt["poses"]))
+        results[name] = {
+            "position_rmse_m": m["position_rmse"],
+            "yaw_rmse_rad": m["yaw_rmse"],
+            "pass": bool(m["position_rmse"] <= 0.777
+                         and m["yaw_rmse"] <= 0.466),
+        }
+    return results
+
+
 def cmd_quick_compare(args) -> int:
     """Honest quick comparison: run the REAL pipeline on a short workload."""
     import jax
@@ -238,6 +277,12 @@ def cmd_quick_compare(args) -> int:
 
     cfg = _cfg_from_args(args)
     frames = args.frames
+    if getattr(args, "adversarial", False):
+        results = _adversarial_suite(cfg, frames)
+        print(json.dumps(results, indent=2, default=float))
+        ok = all(r["pass"] for r in results.values())
+        print("ADVERSARIAL PARITY:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
     batches, gt = _synthetic_scene(cfg, frames)
     t0 = time.time()
     out = pipe_mod.process_sequence(batches, jax.random.key(0), cfg)
@@ -418,6 +463,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="honest quick benchmark (real pipeline)")
     sp.add_argument("--frames", type=int, default=10)
     sp.add_argument("--num-chirps", type=int, default=None)
+    sp.add_argument("--adversarial", action="store_true",
+                    help="run the model-mismatch scenario suite (reference-"
+                         "fidelity synthesis, movers, clutter, extended "
+                         "targets, jitter, dropped frames) against the "
+                         "parity bound")
     sp.set_defaults(fn=cmd_quick_compare)
 
     sp = sub.add_parser("evaluate", help="evaluate saved artifacts vs GT")

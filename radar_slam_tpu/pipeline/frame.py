@@ -124,12 +124,17 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
                             prev_motion=state.prev_motion,
                             v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
-    pose = jnp.where(
-        motion.success,
-        planar_pose_step(state.pose, motion.velocity,
-                         motion.angular_velocity[2],
-                         jnp.float32(cfg.frame_dt), rotate_pose),
-        state.pose)
+    # On solve failure the returned motion already falls back to the
+    # previous estimate (solve_velocity), so stepping with it dead-reckons
+    # through gaps (coast_on_failure; frame 0's prev motion is zero, so it
+    # stays put either way).  The reference freezes instead.
+    stepped = planar_pose_step(state.pose, motion.velocity,
+                               motion.angular_velocity[2],
+                               jnp.float32(cfg.frame_dt), rotate_pose)
+    if cfg.pose.coast_on_failure:
+        pose = stepped
+    else:
+        pose = jnp.where(motion.success, stepped, state.pose)
 
     new_state = FrameState(
         smoother=smoother,
@@ -158,7 +163,8 @@ def process_scatterers(state: FrameState, scatterers: ScattererBatch,
                        rotate_pose: bool = True
                        ) -> Tuple[FrameState, FrameOutput]:
     """One frame step from point-cloud scatterers (synthesis included)."""
-    signals = synthesize_frame(scatterers, cfg.radar, key)
+    signals = synthesize_frame(scatterers, cfg.radar, key,
+                               fidelity=cfg.synth_fidelity)
     return process_signals(state, signals, cfg, rotate_pose)
 
 
@@ -226,7 +232,7 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
 
     # ---- phase A: batched per-frame heavy compute -------------------------
     def heavy(sc, k):
-        sig = synthesize_frame(sc, cfg.radar, k)
+        sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,

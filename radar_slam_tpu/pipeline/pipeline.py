@@ -69,7 +69,8 @@ class EgoMotionPipeline:
         """Synthesize raw baseband cubes [F, A, C, S] from scatterer frames."""
         t0 = time.time()
         self._signals = synthesize_frames_batch(
-            scatterers, self.cfg.radar, jax.random.key(seed))
+            scatterers, self.cfg.radar, jax.random.key(seed),
+            fidelity=self.cfg.synth_fidelity)
         jax.block_until_ready(self._signals)
         if self.save_artifacts:
             for i in range(self._signals.shape[0]):

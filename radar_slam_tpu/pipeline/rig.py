@@ -125,7 +125,7 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
     keys = jax.random.split(key, B)
 
     def per_sensor(sc, k, sm, cl):
-        sig = synthesize_frame(sc, cfg.radar, k)
+        sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,
