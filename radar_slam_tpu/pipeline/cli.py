@@ -142,6 +142,18 @@ def cmd_analyze(args) -> int:
     if getattr(args, "rig", False):
         return _cmd_analyze_rig(args, cfg)
     if args.dataset:
+        # Exact sensor-origin geometry is the DEFAULT for datasets whose
+        # sensors.json declares off-origin mounts: the merged path leaves
+        # measured vr sensor-radial while building vehicle-origin LOS rows
+        # (the reference's systematic error, radarscenes_loader.py:226-254).
+        # --merged forces the legacy reference-parity path.
+        if not getattr(args, "merged", False):
+            from radar_slam_tpu.io.radarscenes import RadarScenesLoader
+            loader = RadarScenesLoader(args.dataset)
+            data = loader.load_sequence_data(args.seq)
+            _, rig = loader.sequence_rig(data)
+            if any(any(abs(c) > 1e-9 for c in mount) for mount in rig):
+                return _cmd_analyze_rig(args, cfg)
         batches, gt = _load_dataset_frames(args, cfg)
         gt_poses = gt["poses"]
         gt_vels = None
@@ -453,8 +465,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.add_argument("--gt-fallback", action="store_true")
     sp.add_argument("--rig", action="store_true",
-                    help="per-sensor mounted-rig pipeline (exact mounting "
-                         "geometry; yaw rate Doppler-observable)")
+                    help="force the per-sensor mounted-rig pipeline (exact "
+                         "mounting geometry; yaw rate Doppler-observable). "
+                         "Datasets with off-origin mounts in sensors.json "
+                         "use it by default")
+    sp.add_argument("--merged", action="store_true",
+                    help="force the legacy merged-sensor path (reference "
+                         "parity: vehicle-origin LOS, sensor-radial vr)")
     sp.add_argument("--slam", action="store_true",
                     help="loop-closure pose-graph refinement")
     sp.set_defaults(fn=cmd_analyze)

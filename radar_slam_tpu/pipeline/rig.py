@@ -162,12 +162,15 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
                             prev_motion=state.prev_motion,
                             v_unambiguous=cfg.radar.max_unambiguous_velocity)
 
-    pose = jnp.where(
-        motion.success,
-        planar_pose_step(state.pose, motion.velocity,
-                         motion.angular_velocity[2],
-                         jnp.float32(cfg.frame_dt), rotate_pose),
-        state.pose)
+    # Failed solves return the previous motion, so stepping unconditionally
+    # dead-reckons through gaps (PoseConfig.coast_on_failure; see frame.py).
+    stepped = planar_pose_step(state.pose, motion.velocity,
+                               motion.angular_velocity[2],
+                               jnp.float32(cfg.frame_dt), rotate_pose)
+    if cfg.pose.coast_on_failure:
+        pose = stepped
+    else:
+        pose = jnp.where(motion.success, stepped, state.pose)
 
     new_state = FrameState(
         smoother=smoother,
