@@ -394,6 +394,9 @@ def cmd_evaluate(args) -> int:
             reports.velocity_report_markdown(res, trends),
             out / "velocity_report.md")
         wrote.append("velocity_report.md")
+        from radar_slam_tpu.evaluate import plots as eplots
+        wrote += [p.name for p in eplots.emit_error_plots(
+            out, velocities_est=np.asarray(est), velocities_gt=gt)]
 
     traj_file = run / "poses" / "trajectory.npz"
     if args.gt_poses and traj_file.exists():
@@ -411,6 +414,10 @@ def cmd_evaluate(args) -> int:
         print(json.dumps({"position_rmse": ape["position_rmse"],
                           "orientation_rmse": ape["orientation_rmse"]}))
         wrote.append("pose_report.md")
+        from radar_slam_tpu.evaluate import plots as eplots
+        wrote += [p.name for p in eplots.emit_error_plots(
+            out, ape=ape, rte=rte, est_positions=est7[:, :3],
+            gt_positions=gt7[:, :3])]
 
     if not wrote:
         print("error: nothing to evaluate (need --gt-velocities and/or "

@@ -96,11 +96,17 @@ def init_state(cfg: PipelineConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"),
+                   donate_argnames=("state",))
 def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
                     rotate_pose: bool = True
                     ) -> Tuple[FrameState, FrameOutput]:
-    """One frame step from an ADC cube [A, C, S] (baseband domain)."""
+    """One frame step from an ADC cube [A, C, S] (baseband domain).
+
+    ``state`` is DONATED: the streaming drivers replace it every step, so
+    XLA reuses its buffers in place (smoother table, prev targets) instead
+    of allocating per frame -- callers must not read a state object after
+    passing it in."""
     rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
                                  chirp_subset=cfg.chirp_subset,
                                  doppler_window=cfg.doppler_window,
@@ -157,12 +163,14 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
     return new_state, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"),
+                   donate_argnames=("state",))
 def process_scatterers(state: FrameState, scatterers: ScattererBatch,
                        key: jax.Array, cfg: PipelineConfig,
                        rotate_pose: bool = True
                        ) -> Tuple[FrameState, FrameOutput]:
-    """One frame step from point-cloud scatterers (synthesis included)."""
+    """One frame step from point-cloud scatterers (synthesis included).
+    ``state`` is donated (see :func:`process_signals`)."""
     signals = synthesize_frame(scatterers, cfg.radar, key,
                                fidelity=cfg.synth_fidelity)
     return process_signals(state, signals, cfg, rotate_pose)
@@ -206,6 +214,42 @@ def process_signal_sequence(signals: jax.Array, cfg: PipelineConfig,
     return outputs
 
 
+def frame_features(signals: jax.Array, cfg: PipelineConfig):
+    """Frame-independent heavy stages for ONE frame's ADC cube [A, C, S]:
+    RDS -> detection -> signatures -> MDL -> angles -> confidence.
+
+    Shared by the batched sequence driver (vmap over frames) and the
+    frame-parallel SPMD driver (``parallel/dp.py``); everything sequential
+    (temporal smoothing, association, prior, pose) stays with the caller.
+
+    Returns (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
+    conf)."""
+    from radar_slam_tpu.aoa import confidence as conf_mod
+    from radar_slam_tpu.aoa import estimators
+    from radar_slam_tpu.signal.detect import extract_spatial_signatures
+
+    rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
+                                 chirp_subset=cfg.chirp_subset,
+                                 doppler_window=cfg.doppler_window,
+                                 use_pallas=cfg.use_pallas,
+                                 fft_mode=cfg.fft_mode,
+                                 dft_precision=cfg.dft_precision)
+    det = detect_peaks(rds, cfg.radar, cfg.detection,
+                       use_pallas=cfg.use_pallas)
+    sigs = extract_spatial_signatures(rds, det)
+    K = det.range_bin.shape[0]
+    keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
+            & (jnp.arange(K) < cfg.aoa.max_targets))
+    R = estimators.signature_covariances(sigs)
+    eigvals, _ = estimators.eigendecompose(R)
+    num_sources, is_multi, _ = conf_mod.mdl_model_order(eigvals)
+    angles_deg, el_deg, _ = estimators.estimate_angles_2d(
+        sigs, cfg.radar, cfg.aoa, method=cfg.aoa.method,
+        num_sources=num_sources)
+    conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar, el_deg)
+    return det, sigs, keep, num_sources, is_multi, angles_deg, el_deg, conf
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
 def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
                              cfg: PipelineConfig,
@@ -221,41 +265,36 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
     smoother consumes the same raw angles); results differ only by float
     reassociation.
     """
-    from radar_slam_tpu.aoa import confidence as conf_mod
-    from radar_slam_tpu.aoa import estimators
-    from radar_slam_tpu.signal.detect import extract_spatial_signatures
-
     F = scatterers.range_m.shape[0]
     keys = jax.random.split(key, F)
-    D = cfg.radar.num_chirps if cfg.chirp_subset is None else (
-        cfg.chirp_subset[1] - cfg.chirp_subset[0])
 
     # ---- phase A: batched per-frame heavy compute -------------------------
     def heavy(sc, k):
         sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
-        rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
-                                     chirp_subset=cfg.chirp_subset,
-                                     doppler_window=cfg.doppler_window,
-                                     use_pallas=cfg.use_pallas,
-                                     fft_mode=cfg.fft_mode,
-                                     dft_precision=cfg.dft_precision)
-        det = detect_peaks(rds, cfg.radar, cfg.detection,
-                           use_pallas=cfg.use_pallas)
-        sigs = extract_spatial_signatures(rds, det)
-        K = det.range_bin.shape[0]
-        keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
-                & (jnp.arange(K) < cfg.aoa.max_targets))
-        R = estimators.signature_covariances(sigs)
-        eigvals, _ = estimators.eigendecompose(R)
-        num_sources, is_multi, _ = conf_mod.mdl_model_order(eigvals)
-        angles_deg, el_deg, _ = estimators.estimate_angles_2d(
-            sigs, cfg.radar, cfg.aoa, method=cfg.aoa.method,
-            num_sources=num_sources)
-        conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar, el_deg)
-        return det, sigs, keep, num_sources, is_multi, angles_deg, el_deg, conf
+        return frame_features(sig, cfg)
 
+    features = jax.vmap(heavy)(scatterers, keys)
+    return _sequence_from_features(features, cfg, rotate_pose)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
+def process_signal_sequence_batched(signals: jax.Array, cfg: PipelineConfig,
+                                    rotate_pose: bool = True) -> FrameOutput:
+    """Batched (two-phase) driver over pre-synthesized cubes [F, A, C, S];
+    the semantics reference for ``parallel/dp.py``."""
+    features = jax.vmap(lambda s: frame_features(s, cfg))(signals)
+    return _sequence_from_features(features, cfg, rotate_pose)
+
+
+def _sequence_from_features(features, cfg: PipelineConfig,
+                            rotate_pose: bool) -> FrameOutput:
+    """Phase B shared by the batched drivers: windowed temporal smoothing,
+    shift-association, batched solves, prefix-sum pose."""
     (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
-     conf) = jax.vmap(heavy)(scatterers, keys)
+     conf) = features
+    F = det.range_bin.shape[0]
+    D = cfg.radar.num_chirps if cfg.chirp_subset is None else (
+        cfg.chirp_subset[1] - cfg.chirp_subset[0])
 
     # ---- phase B1: temporal smoothing, scan-free -- the slot-table scan is
     # re-derived as a parallel windowed gather over [F, K] (exact under the

@@ -33,3 +33,25 @@ def _leaf_to_host(x):
 def device_get(tree: Any) -> Any:
     """Pytree-aware host fetch that is safe for complex arrays."""
     return jax.tree.map(_leaf_to_host, tree)
+
+
+@jax.jit
+def _combine(re, im):
+    return jax.lax.complex(re, im)
+
+
+def _leaf_to_device(x):
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        # Host->device of complex64 fails on axon at ANY size (verified:
+        # jnp.asarray of a 1 MB complex64 array raises UNIMPLEMENTED while
+        # 210 MB float32 uploads fine); upload re/im planes and combine
+        # on-device.
+        return _combine(jnp.asarray(x.real.astype(np.float32)),
+                        jnp.asarray(x.imag.astype(np.float32)))
+    return jnp.asarray(x)
+
+
+def device_put(tree: Any) -> Any:
+    """Pytree-aware host->device upload that is safe for complex arrays."""
+    return jax.tree.map(_leaf_to_device, tree)

@@ -118,3 +118,87 @@ def test_reports_render(tmp_path):
     reports.save_json({"a": np.float32(1.5), "b": np.arange(3)},
                       tmp_path / "r.json")
     assert (tmp_path / "v.md").exists() and (tmp_path / "r.json").exists()
+
+
+def test_yaw_error_wraps_across_pi():
+    """Yaw errors must wrap into (-pi, pi]: a trajectory crossing +/-pi with
+    a tiny true error must NOT read as ~2 pi (VERDICT round-1 weak item 4;
+    the reference's raw |est - gt| at radarscenes_complete_analysis.py:317
+    explodes there -- reproducible with wrap_yaw=False)."""
+    n = 8
+    gt = np.zeros((n, 3))
+    gt[:, 2] = np.linspace(np.pi - 0.2, np.pi + 0.2, n)      # crosses +pi
+    est = gt.copy()
+    est[:, 2] = np.arctan2(np.sin(gt[:, 2] + 0.01),
+                           np.cos(gt[:, 2] + 0.01))          # wrapped estimate
+    m = pm.planar_pose_errors(est, gt)
+    assert m["yaw_rmse"] < 0.02, m
+    m_ref = pm.planar_pose_errors(est, gt, wrap_yaw=False)
+    assert m_ref["yaw_rmse"] > 1.0, "parity mode should reproduce the bug"
+
+
+def test_rte_vectorized_matches_loop_reference():
+    """The vectorized RTE must equal the per-segment loop it replaced."""
+    est = rand_traj(80, seed=1)
+    gt = rand_traj(80, seed=0)
+    est[:, :3] += np.random.default_rng(2).normal(0, 0.05, (80, 3))
+    rte = pm.compute_rte(est, gt, segment_lengths=(20.0, 50.0), align=False)
+
+    # Loop re-derivation (the round-1 implementation).
+    gt_pos = gt[:, :3]
+    dist = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(gt_pos, axis=0), axis=1))])
+    for seg in (20.0, 50.0):
+        ends = np.searchsorted(dist, dist + seg, side="left")
+        errors = []
+        for i in range(len(gt_pos)):
+            j = ends[i]
+            if j >= len(gt_pos) or j <= i:
+                continue
+            dp_e, _ = pm._relative_transform(est[i, :3], est[j, :3],
+                                             est[i, 3:7], est[j, 3:7])
+            dp_g, _ = pm._relative_transform(gt_pos[i], gt_pos[j],
+                                             gt[i, 3:7], gt[j, 3:7])
+            errors.append(np.linalg.norm(dp_e - dp_g))
+        np.testing.assert_allclose(rte[f"rte_{seg:.0f}m"]["errors"],
+                                   np.array(errors), rtol=1e-9, atol=1e-12)
+
+
+def test_rte_5000_poses_under_one_second():
+    """VERDICT round-1 item 5 done criterion: RTE on 5,000 poses < 1 s."""
+    import time
+    n = 5000
+    t = np.linspace(0, 500, n)
+    pos = np.stack([2.0 * t, np.sin(0.05 * t), 0 * t], axis=1)
+    yaw = 0.01 * t
+    quat = np.stack([np.cos(yaw / 2), 0 * yaw, 0 * yaw,
+                     np.sin(yaw / 2)], axis=1)
+    gt = np.column_stack([pos, quat])
+    est = gt.copy()
+    est[:, :3] += np.random.default_rng(0).normal(0, 0.1, (n, 3))
+    t0 = time.perf_counter()
+    rte = pm.compute_rte(est, gt, align=False)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"RTE took {dt:.2f}s on {n} poses"
+    assert rte["rte_100m"]["num_segments"] > 4000
+
+
+def test_error_plots_emitted(tmp_path):
+    """The evaluators emit error figures next to their reports (parity with
+    compute_velocity_error.py:182-251 / compute_pose_error.py:449-517)."""
+    from radar_slam_tpu.evaluate import plots as eplots
+    gt = rand_traj(40, seed=0)
+    est = gt.copy()
+    est[:, :3] += np.random.default_rng(1).normal(0, 0.05, (40, 3))
+    ape = pm.compute_ape(est, gt, align=False)
+    rte = pm.compute_rte(est, gt, segment_lengths=(20.0, 50.0), align=False)
+    v_gt = np.random.default_rng(2).normal(0, 1, (40, 6))
+    v_est = v_gt + np.random.default_rng(3).normal(0, 0.1, (40, 6))
+    written = eplots.emit_error_plots(
+        tmp_path, ape=ape, rte=rte, velocities_est=v_est,
+        velocities_gt=v_gt, est_positions=est[:, :2],
+        gt_positions=gt[:, :2])
+    names = {p.name for p in written}
+    assert names == {"velocity_errors.png", "pose_errors.png", "rte.png"}
+    for p in written:
+        assert p.stat().st_size > 5000

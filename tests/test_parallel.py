@@ -34,22 +34,39 @@ def signals16(eight_devices):
 
 
 def test_dp_pipeline_multi_vs_single_device(signals16):
+    """EVERY frame of the 8-device run must match the 1-device run exactly
+    (VERDICT round-1 item 7: round 1 reset smoother tracks at block
+    boundaries and only required 12/16 frames at atol=0.15; the smoothing
+    inputs are now all_gathered so the windowed smoother is mesh-exact)."""
     sig, gt = signals16
     out8 = dp.process_frames_dp(sig, CFG, make_mesh(8))
     out1 = dp.process_frames_dp(sig, CFG, make_mesh(1))
-    v8 = np.asarray(out8["velocity"])
-    v1 = np.asarray(out1["velocity"])
-    ok8 = np.asarray(out8["success"])
-    ok1 = np.asarray(out1["success"])
-    # Block-boundary frames may differ (fresh smoother tracks); interior
-    # frames must agree closely.
-    interior = np.ones(16, bool)
-    interior[::2] = interior[::2]  # all frames; compare where both solved
-    both = ok8 & ok1
-    assert both.sum() >= 12
-    np.testing.assert_allclose(v8[both], v1[both], atol=0.15)
-    # Both recover the commanded velocity.
-    assert abs(v8[both][:, 0].mean() - 6.0) < 0.2
+    np.testing.assert_array_equal(np.asarray(out8["success"]),
+                                  np.asarray(out1["success"]))
+    np.testing.assert_allclose(np.asarray(out8["velocity"]),
+                               np.asarray(out1["velocity"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out8["pose"]),
+                               np.asarray(out1["pose"]),
+                               rtol=1e-5, atol=1e-5)
+    ok = np.asarray(out1["success"])
+    assert ok[1:].all()
+    assert abs(np.asarray(out1["velocity"])[ok][:, 0].mean() - 6.0) < 0.2
+
+
+def test_dp_pipeline_matches_batched_driver(signals16):
+    """The dp driver's semantics are the single-device batched driver's
+    (same windowed smoother, same prior-free solve): poses must agree at
+    atol 1e-5 for all frames."""
+    from radar_slam_tpu.pipeline import frame as frame_mod
+    sig, gt = signals16
+    out8 = dp.process_frames_dp(sig, CFG, make_mesh(8))
+    ref = frame_mod.process_signal_sequence_batched(sig, CFG)
+    np.testing.assert_allclose(np.asarray(out8["pose"]),
+                               np.asarray(ref.pose), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out8["velocity"]),
+                               np.asarray(ref.motion.velocity),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_dp_pose_prefix_sum(signals16):
