@@ -177,67 +177,118 @@ def gauss_newton_cg(graph: PoseGraph, mesh: Optional[Mesh] = None,
 
 
 # ---------------------------------------------------------------------------
-# Schur-complement block elimination (chain topology)
+# Schur-complement block elimination (chain + loop closures)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "damping",
+                                             "n_chain"))
 def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
-                  damping: float = 1e-5) -> jax.Array:
-    """One GN step via keyframe-block Schur elimination.
+                  damping: float = 1e-5, n_chain: Optional[int] = None
+                  ) -> jax.Array:
+    """One GN step via keyframe-block Schur elimination, with loop closures
+    folded in exactly by a Woodbury low-rank correction.
 
-    Poses are partitioned into contiguous blocks (one per device).  Each
-    device assembles its local dense Hessian over (its poses + the first pose
-    of the next block), eliminates its interior, and contributes a reduced
-    system over the block-boundary poses; the boundary system (3 unknowns per
-    device boundary) is all_gather-ed, solved redundantly, and interiors are
-    back-substituted locally.  Chain factors only (loop slots must be empty).
+    Poses are partitioned into contiguous blocks (one per device).  The step
+    solves  (Hc + A^T W A) dx = -g  where Hc is the CHAIN Hessian (odometry
+    factors + anchor + damping, block-tridiagonal) and A^T W A the loop
+    Hessian (L loop factors, rank <= 3 each).  The chain part is eliminated
+    by the distributed block-Schur reduction: each device assembles its
+    dense window Hessian over (its B poses + the next block's first pose),
+    factors its interior ONCE, and contributes a reduced 6x6 system over the
+    block-boundary poses that is psum-reduced and solved redundantly.  The
+    SAME factorization is then reused to solve the 3L + 1 right-hand sides
+    [g, A^T] in one shot, and the loop factors enter via the push-through
+    identity
+
+        (Hc + A^T W A)^{-1} g
+            = y0 - X (I + W A X)^{-1} W A y0,   X = Hc^{-1} A^T, y0 = Hc^{-1} g
+
+    so the loop correction costs one extra [3L, 3L] replicated solve -- no
+    loss of exactness and no topology restriction (round 1 required the loop
+    slots to be EMPTY; VERDICT round-1 item 6).
+
+    Args:
+        n_chain: number of leading chain-factor slots in the graph (default
+            N - 1, the ``from_velocities`` layout); slots beyond it are loop
+            closures (valid or not).
     """
     N = graph.poses.shape[0]
     n_dev = mesh.devices.size
     assert N % n_dev == 0, "pad keyframes to a multiple of the mesh size"
     B = N // n_dev
+    if n_chain is None:
+        n_chain = N - 1
+    L = graph.fi.shape[0] - n_chain     # loop slots (static)
 
-    def body(poses, fi, fj, delta, info, valid, anchor, anchor_info):
+    # Chain factors re-laid-out to N slots (slot k <-> factor (k, k+1)), so
+    # sharding the slot axis gives every device exactly its window's factors.
+    def chain_pad(x, fill=0):
+        pad = jnp.full((N - n_chain,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x[:n_chain], pad])
+
+    cfi = chain_pad(graph.fi)
+    cfj = chain_pad(graph.fj)
+    cdelta = chain_pad(graph.delta)
+    cinfo = chain_pad(graph.info)
+    cvalid = jnp.concatenate([graph.factor_valid[:n_chain],
+                              jnp.zeros(N - n_chain, bool)])
+
+    # Loop factors: replicated (L is small and their endpoints are global).
+    if L == 0:
+        # One dummy invalid slot keeps every shape nonzero; its zero weight
+        # makes the Woodbury correction exactly zero.
+        lfi = jnp.zeros(1, graph.fi.dtype)
+        lfj = jnp.ones(1, graph.fj.dtype)
+        ldelta = jnp.zeros((1, 3), graph.delta.dtype)
+        linfo = jnp.zeros((1, 3), graph.info.dtype)
+        lvalid = jnp.zeros(1, bool)
+    else:
+        lfi, lfj = graph.fi[n_chain:], graph.fj[n_chain:]
+        ldelta, linfo = graph.delta[n_chain:], graph.info[n_chain:]
+        lvalid = graph.factor_valid[n_chain:]
+
+    def body(poses, fi, fj, delta, info, valid, anchor, anchor_info,
+             lfi, lfj, ldelta, linfo, lvalid):
         idx = jax.lax.axis_index(axis_name)
-        # Local variables: B poses + the boundary pose of the next block.
-        # Assemble dense H over 3*(B+1) unknowns from this device's factors.
+        base = idx * B
+        # ---- local dense chain Hessian over the (B+1)-pose window --------
         graph_slice = PoseGraph(poses=poses, fi=fi, fj=fj, delta=delta,
                                 info=info, factor_valid=valid,
                                 anchor=anchor, anchor_info=anchor_info)
-        r = factor_residuals(poses, graph_slice)                 # [Mb, 3]
+        r = factor_residuals(poses, graph_slice)                 # [B, 3]
         Ji, Jj = factor_jacobians(poses, graph_slice)
         w = valid[:, None] * info
 
-        # Local index of each factor endpoint within the (B+1)-pose window;
-        # invalid (padding) factors are pushed out of bounds so every scatter
-        # drops them (negative indices would wrap).
-        base = idx * B
+        # Local endpoint indices within the window; invalid factors are
+        # pushed out of bounds so the scatters drop them.
         li = jnp.where(valid, fi - base, B + 1)
         lj = jnp.where(valid, fj - base, B + 1)
 
         D = 3 * (B + 1)
         H = jnp.zeros((D, D))
-        g = jnp.zeros(D)
 
-        def scatter(H, g, J1, l1, J2, l2):
+        def scatter(H, J1, l1, J2, l2):
             # H[l1, l2] += J1^T W J2 for every factor (vectorized scatter).
-            blocks = jnp.einsum("ma,mab,mac->mbc", w, J1, J2)    # [Mb, 3, 3]
-            rows = (3 * l1[:, None] + jnp.arange(3)[None, :])    # [Mb, 3]
+            blocks = jnp.einsum("ma,mab,mac->mbc", w, J1, J2)    # [B, 3, 3]
+            rows = (3 * l1[:, None] + jnp.arange(3)[None, :])    # [B, 3]
             cols = (3 * l2[:, None] + jnp.arange(3)[None, :])
-            H = H.at[rows[:, :, None], cols[:, None, :]].add(
+            return H.at[rows[:, :, None], cols[:, None, :]].add(
                 blocks, mode="drop")
-            return H
 
-        H = scatter(H, g, Ji, li, Ji, li)
-        H = scatter(H, g, Ji, li, Jj, lj)
-        H = scatter(H, g, Jj, lj, Ji, li)
-        H = scatter(H, g, Jj, lj, Jj, lj)
+        H = scatter(H, Ji, li, Ji, li)
+        H = scatter(H, Ji, li, Jj, lj)
+        H = scatter(H, Jj, lj, Ji, li)
+        H = scatter(H, Jj, lj, Jj, lj)
+
+        # Chain gradient into the window.
+        g = jnp.zeros(D)
         wr = w * r
-        gi = jnp.einsum("mab,ma->mb", Ji, wr)
-        gj = jnp.einsum("mab,ma->mb", Jj, wr)
-        rows_i = 3 * li[:, None] + jnp.arange(3)[None, :]
-        rows_j = 3 * lj[:, None] + jnp.arange(3)[None, :]
-        g = g.at[rows_i].add(gi, mode="drop")
-        g = g.at[rows_j].add(gj, mode="drop")
+        gci = jnp.einsum("mab,ma->mb", Ji, wr)
+        gcj = jnp.einsum("mab,ma->mb", Jj, wr)
+        g = g.at[3 * li[:, None] + jnp.arange(3)[None, :]].add(
+            gci, mode="drop")
+        g = g.at[3 * lj[:, None] + jnp.arange(3)[None, :]].add(
+            gcj, mode="drop")
 
         # Anchor on global pose 0 (device 0, local 0).
         anchor_w = jnp.where(idx == 0, 1.0, 0.0) * anchor_info
@@ -248,9 +299,41 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
 
         H = H + damping * jnp.eye(D)
 
-        # Boundary variables: local pose 0 (shared with previous device) and
-        # local pose B (first pose of next block).  Interior: poses 1..B-1.
-        sep = jnp.array([0, B])                                   # local ids
+        # ---- loop factor linearization (replicated; tiny) -----------------
+        loop_slice = PoseGraph(poses=poses, fi=lfi, fj=lfj, delta=ldelta,
+                               info=linfo, factor_valid=lvalid,
+                               anchor=anchor, anchor_info=anchor_info)
+        rl = factor_residuals(poses, loop_slice)                  # [L, 3]
+        Jli, Jlj = factor_jacobians(poses, loop_slice)
+        wl = (lvalid[:, None] * linfo).reshape(-1)                # [3L]
+        Lr = rl.shape[0]
+        # A [3L, 3N]: rows of loop-residual Jacobians.
+        A = jnp.zeros((3 * Lr, 3 * N))
+        lrow = (3 * jnp.arange(Lr)[:, None] + jnp.arange(3)[None, :])
+        ci = (3 * lfi[:, None] + jnp.arange(3)[None, :])
+        cj = (3 * lfj[:, None] + jnp.arange(3)[None, :])
+        A = A.at[lrow[:, :, None], ci[:, None, :]].add(Jli, mode="drop")
+        A = A.at[lrow[:, :, None], cj[:, None, :]].add(Jlj, mode="drop")
+
+        # Total gradient adds the loop part A^T W r_l; replicated pose
+        # contributions are OWNED by the device whose block holds the pose
+        # (local rows 0..B-1 only) so the psum-reduced boundary system counts
+        # each exactly once.
+        g_loop = (A.T @ (wl * rl.reshape(-1))).reshape(N, 3)      # [N, 3]
+        own = jax.lax.dynamic_slice_in_dim(g_loop, base, B, axis=0)
+        g = g.at[:3 * B].add(own.reshape(-1))
+
+        # ---- right-hand sides: [g | A^T columns owned by this device] -----
+        # Same ownership rule for A^T (replicated): zero the rows of poses
+        # this device does not own, psum restores the full sum.
+        At_own = jax.lax.dynamic_slice(A.T, (3 * base, 0),
+                                       (3 * B, 3 * Lr))           # [3B, 3L]
+        rhs = jnp.zeros((D, 1 + 3 * Lr))
+        rhs = rhs.at[:, :1].set(g[:, None])
+        rhs = rhs.at[:3 * B, 1:].set(At_own)
+
+        # ---- interior elimination (factor once, solve all RHS) ------------
+        sep = jnp.array([0, B])
         bsel = (3 * sep[:, None] + jnp.arange(3)[None, :]).reshape(-1)
         isel = (3 * (1 + jnp.arange(B - 1))[:, None]
                 + jnp.arange(3)[None, :]).reshape(-1)
@@ -258,47 +341,65 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         Hbb = H[bsel[:, None], bsel[None, :]]
         Hbi = H[bsel[:, None], isel[None, :]]
         Hii = H[isel[:, None], isel[None, :]]
-        gb = g[bsel]
-        gi_ = g[isel]
+        rb = rhs[bsel]                                            # [6, C]
+        ri = rhs[isel]                                            # [I, C]
 
-        Hii_inv_Hib = jnp.linalg.solve(Hii, Hbi.T)               # [I, 6]
-        Hii_inv_gi = jnp.linalg.solve(Hii, gi_)
-        S_local = Hbb - Hbi @ Hii_inv_Hib                        # [6, 6]
-        y_local = gb - Hbi @ Hii_inv_gi                          # [6]
+        Hii_inv = jnp.linalg.solve(
+            Hii, jnp.concatenate([Hbi.T, ri], axis=1))            # [I, 6+C]
+        Hii_inv_Hib = Hii_inv[:, :6]
+        Hii_inv_ri = Hii_inv[:, 6:]
+        S_local = Hbb - Hbi @ Hii_inv_Hib                         # [6, 6]
+        y_local = rb - Hbi @ Hii_inv_ri                           # [6, C]
 
-        # Global boundary system over n_dev+1 boundary poses: device d's
-        # boundaries are global boundary ids (d, d+1).
+        # ---- global boundary system (psum + redundant solve) --------------
         nb = n_dev + 1
+        C = y_local.shape[1]
         Sg = jnp.zeros((3 * nb, 3 * nb))
-        yg = jnp.zeros(3 * nb)
+        yg = jnp.zeros((3 * nb, C))
         off = 3 * idx
         rows = off + jnp.arange(6)
         Sg = Sg.at[rows[:, None], rows[None, :]].add(S_local)
         yg = yg.at[rows].add(y_local)
         Sg = jax.lax.psum(Sg, axis_name)
         yg = jax.lax.psum(yg, axis_name)
-        # The last boundary pose (global N, nonexistent) has no factors on
-        # the final device's window beyond B... it corresponds to pose of
-        # block n_dev which does not exist; regularize its (empty) rows.
+        # The last boundary id (pose N, nonexistent) has empty rows.
         Sg = Sg + 1e-12 * jnp.eye(3 * nb)
-        db = -jnp.linalg.solve(Sg, yg)                           # [3 nb]
+        db = jnp.linalg.solve(Sg, yg)                             # [3 nb, C]
 
-        db_local = jax.lax.dynamic_slice(db, (off,), (6,))
-        di = -Hii_inv_gi - Hii_inv_Hib @ db_local
-        dx = jnp.zeros((B + 1, 3))
-        dx = dx.at[0].set(db_local[:3])
-        dx = dx.at[B].set(db_local[3:])
-        dx = dx.at[1:B].set(di.reshape(B - 1, 3))
+        db_local = jax.lax.dynamic_slice(db, (off, 0), (6, C))
+        di = Hii_inv_ri - Hii_inv_Hib @ db_local                  # [I, C]
+        # Window solution for all RHS (rows = B+1 local poses).
+        sol = jnp.zeros((D, C))
+        sol = sol.at[bsel].set(db_local)
+        sol = sol.at[isel].set(di)
+
+        # Owned rows of the global solutions Hc^{-1} [g | A^T]  [3B, C].
+        sol_own = sol[:3 * B]
+        y0_own = sol_own[:, 0]                                    # [3B]
+        X_own = sol_own[:, 1:]                                    # [3B, 3L]
+
+        # ---- Woodbury loop correction --------------------------------------
+        # A y0 and A X need the full (cross-device) solutions: psum of the
+        # owned-row partial products.
+        A_own = jax.lax.dynamic_slice(A, (0, 3 * base),
+                                      (3 * Lr, 3 * B))            # [3L, 3B]
+        Ay0 = jax.lax.psum(A_own @ y0_own, axis_name)             # [3L]
+        AX = jax.lax.psum(A_own @ X_own, axis_name)               # [3L, 3L]
+        K = jnp.eye(3 * Lr) + wl[:, None] * AX
+        corr = jnp.linalg.solve(K, wl * Ay0)                      # [3L]
+        dxb = -(y0_own - X_own @ corr).reshape(B, 3)
 
         local_poses = jax.lax.dynamic_slice_in_dim(poses, base, B, axis=0)
-        return local_poses + dx[:B]
+        return local_poses + dxb
 
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name), P(), P()),
+                  P(axis_name), P(axis_name), P(), P(),
+                  P(), P(), P(), P(), P()),
         out_specs=P(axis_name),
         check_vma=False)
-    new_poses = fn(graph.poses, graph.fi, graph.fj, graph.delta, graph.info,
-                   graph.factor_valid, graph.anchor, graph.anchor_info)
+    new_poses = fn(graph.poses, cfi, cfj, cdelta, cinfo, cvalid,
+                   graph.anchor, graph.anchor_info,
+                   lfi, lfj, ldelta, linfo, lvalid)
     return new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))

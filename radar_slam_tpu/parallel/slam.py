@@ -32,7 +32,7 @@ def targets_to_points(range_m: np.ndarray, azimuth_rad: np.ndarray,
 
 def refine_sequence_output(out, dt: float,
                            lc_cfg: LoopClosureConfig = LoopClosureConfig(),
-                           mesh=None) -> Dict:
+                           mesh=None, solver: str = "cg") -> Dict:
     """Refine a pipeline :class:`~radar_slam_tpu.pipeline.frame.FrameOutput`
     sequence (scan or batched driver) with loop-closure pose-graph GN."""
     from radar_slam_tpu.utils.host import device_get
@@ -43,7 +43,7 @@ def refine_sequence_output(out, dt: float,
     return refine_trajectory(
         vel, wz, ok, dt,
         frame_points=out.target_xy, frame_valid=out.target_valid,
-        lc_cfg=lc_cfg, mesh=mesh)
+        lc_cfg=lc_cfg, mesh=mesh, solver=solver)
 
 
 def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
@@ -51,8 +51,8 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                       frame_points: Optional[jax.Array] = None,
                       frame_valid: Optional[jax.Array] = None,
                       lc_cfg: LoopClosureConfig = LoopClosureConfig(),
-                      mesh=None, gn_iters: int = 10, cg_iters: int = 60
-                      ) -> Dict:
+                      mesh=None, gn_iters: int = 10, cg_iters: int = 60,
+                      solver: str = "cg") -> Dict:
     """Build + solve the pose graph for one sequence.
 
     Args:
@@ -61,15 +61,37 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
         success: [F] bool.
         frame_points / frame_valid: [F, K, 2] / [F, K] detection positions
             for loop-closure scan matching (None disables loop closures).
+        solver: "cg" -- distributed GN with CG inner solves
+            (``ba.gauss_newton_cg``); "schur" -- iterated keyframe-block
+            Schur elimination with the Woodbury loop correction
+            (``ba.schur_gn_step``; requires ``mesh``).  Keyframes are padded
+            with weak zero-motion factors to a multiple of the mesh size.
 
     Returns dict with open-loop poses [F+1, 3], refined poses [F+1, 3],
     accepted loop closures, and final graph cost.
     """
     F = len(velocities)
+    velocities = np.asarray(velocities, np.float32)
+    yaw_rates = np.asarray(yaw_rates, np.float32)
+    success = np.asarray(success, bool)
+    if solver == "schur":
+        if mesh is None:
+            raise ValueError("solver='schur' needs a device mesh")
+        n_dev = mesh.devices.size
+        n_poses = -(-(F + 1) // n_dev) * n_dev
+        pad = n_poses - 1 - F
+        if pad:
+            velocities = np.concatenate(
+                [velocities, np.zeros((pad, 3), np.float32)])
+            yaw_rates = np.concatenate(
+                [yaw_rates, np.zeros(pad, np.float32)])
+            success = np.concatenate([success, np.zeros(pad, bool)])
+    elif solver != "cg":
+        raise ValueError(f"Unknown pose-graph solver: {solver}")
+
     cap = lc_cfg.max_candidates if frame_points is not None else 1
     graph = posegraph.from_velocities(
-        jnp.asarray(velocities, jnp.float32),
-        jnp.asarray(yaw_rates, jnp.float32),
+        jnp.asarray(velocities), jnp.asarray(yaw_rates),
         jnp.asarray(success), dt, loop_capacity=cap)
     open_poses = np.asarray(graph.poses)
 
@@ -83,11 +105,18 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                 graph, slot, lc["i"], lc["j"],
                 jnp.asarray(lc["delta"]), info)
 
-    poses, cost = ba.gauss_newton_cg(graph, mesh=mesh, gn_iters=gn_iters,
-                                     cg_iters=cg_iters)
+    if solver == "schur":
+        poses = graph.poses
+        for _ in range(gn_iters):
+            poses = ba.schur_gn_step(graph._replace(poses=poses), mesh)
+        cost = posegraph.total_cost(poses, graph)
+    else:
+        poses, cost = ba.gauss_newton_cg(graph, mesh=mesh,
+                                         gn_iters=gn_iters,
+                                         cg_iters=cg_iters)
     return {
-        "open_loop_poses": open_poses,
-        "poses": np.asarray(poses),
+        "open_loop_poses": open_poses[:F + 1],
+        "poses": np.asarray(poses)[:F + 1],
         "loop_closures": loops,
         "cost": float(cost),
         "graph": graph._replace(poses=poses),

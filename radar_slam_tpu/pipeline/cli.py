@@ -173,7 +173,13 @@ def cmd_analyze(args) -> int:
         from radar_slam_tpu.pipeline import frame as frame_mod
         out = frame_mod.process_sequence_batched(batches, jax.random.key(0),
                                                  cfg)
-        res = slam.refine_sequence_output(out, cfg.frame_dt)
+        solver = getattr(args, "slam_solver", "cg")
+        mesh = None
+        if solver == "schur":
+            from radar_slam_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(len(jax.devices()))
+        res = slam.refine_sequence_output(out, cfg.frame_dt, mesh=mesh,
+                                          solver=solver)
         F = len(gt_poses)
         metrics["slam_loop_closures"] = len(res["loop_closures"])
         if gt_poses is not None:
@@ -364,6 +370,60 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def cmd_analyze_data(args) -> int:
+    """Peak / RDS / dataset-level analysis of pipeline artifacts (parity
+    with ``scripts/analyze_data.py:489-516`` CLI: --frame/--antenna single
+    frame, --compare cross-frame, --insights aggregate; extended to
+    multi-run aggregation via repeated --output)."""
+    from radar_slam_tpu.evaluate.reports import save_json, write_report
+    from radar_slam_tpu.io import artifacts
+    from radar_slam_tpu.viz import analyze as an
+
+    def load_frames(run: Path):
+        rds_dir = run / "rds"
+        files = sorted(rds_dir.glob("frame_*_peaks.npz"))
+        frames = []
+        for f in files:
+            with np.load(f) as z:
+                frames.append({k: z[k] for k in z.files})
+        return frames
+
+    runs = [Path(r) for r in args.output]
+    for r in runs:
+        if not (r / "rds").is_dir():
+            print(f"error: no rds artifacts under {r}", file=sys.stderr)
+            return 2
+
+    out_dir = Path(args.out or runs[0] / "analysis")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.insights or len(runs) > 1:
+        seqs = {r.name or str(r): load_frames(r) for r in runs}
+        result = (an.analyze_dataset(seqs) if len(runs) > 1
+                  else an.insights_report(next(iter(seqs.values()))))
+        save_json(result, out_dir / "insights.json")
+        write_report(an.insights_markdown(result), out_dir / "insights.md")
+        print(json.dumps({k: v for k, v in result.items()
+                          if k != "per_sequence"}, indent=2, default=float))
+        print(f"wrote insights.json + insights.md to {out_dir}")
+        return 0
+    if args.compare:
+        frames = load_frames(runs[0])
+        result = an.compare_frames(frames)
+        save_json(result, out_dir / "frame_comparison.json")
+        print(json.dumps(result, indent=2, default=float))
+        return 0
+    rds, peaks = artifacts.load_rds_frame(runs[0] / "rds", args.frame)
+    result = {
+        "frame": args.frame,
+        "peaks": an.analyze_detections(peaks),
+        "rds_quality": an.analyze_rds_quality(rds, antenna=args.antenna),
+    }
+    save_json(result, out_dir / f"frame_{args.frame:04d}_analysis.json")
+    print(json.dumps(result, indent=2, default=float))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     """Evaluate saved velocity / trajectory artifacts against ground truth
     (evaluation/compute_velocity_error.py:357 and compute_pose_error.py:520
@@ -481,6 +541,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "parity: vehicle-origin LOS, sensor-radial vr)")
     sp.add_argument("--slam", action="store_true",
                     help="loop-closure pose-graph refinement")
+    sp.add_argument("--slam-solver", choices=("cg", "schur"), default="cg",
+                    help="pose-graph solver: distributed GN-CG or "
+                         "keyframe-block Schur elimination (+ Woodbury "
+                         "loop correction) over the device mesh")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("quick-compare",
@@ -493,6 +557,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "targets, jitter, dropped frames) against the "
                          "parity bound")
     sp.set_defaults(fn=cmd_quick_compare)
+
+    sp = sub.add_parser("analyze-data",
+                        help="peak/RDS/dataset statistics from artifacts "
+                             "(analyze_data.py parity)")
+    sp.add_argument("--output", action="append", required=True,
+                    help="pipeline run directory (repeat for multi-"
+                         "sequence aggregation)")
+    sp.add_argument("--frame", type=int, default=0)
+    sp.add_argument("--antenna", type=int, default=0)
+    sp.add_argument("--compare", action="store_true",
+                    help="cross-frame comparison")
+    sp.add_argument("--insights", action="store_true",
+                    help="aggregate insights report (JSON + markdown)")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_analyze_data)
 
     sp = sub.add_parser("evaluate", help="evaluate saved artifacts vs GT")
     sp.add_argument("--run-dir", required=True)

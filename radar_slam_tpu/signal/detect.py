@@ -64,15 +64,34 @@ def _os_noise(p_lin: jax.Array, train: int, guard: int,
     band along both axes (4*train samples per cell); the estimate is the
     ``rank``-quantile order statistic -- unlike the CA mean it ignores up to
     (1-rank) of the training cells being contaminated by other targets.
-    Rolled (wrap-around) shifts keep everything static-shape; edge cells see
-    the opposite border, which the range gate discards anyway."""
-    shifts = []
+
+    Rolled (wrap-around) shifts keep everything static-shape, but a wrapped
+    sample trains an edge cell on the OPPOSITE border -- on the Doppler axis
+    (fast ego folds targets to the spectrum edges) that border often holds
+    real target energy (round-1 weak item 10).  Wrapped samples are
+    therefore masked to +inf and the order statistic adapts to each cell's
+    true training count."""
+    R, D = p_lin.shape
+    row = jnp.arange(R)[:, None]
+    col = jnp.arange(D)[None, :]
+    shifts, valids = [], []
     for o in range(guard + 1, guard + train + 1):
         shifts += [jnp.roll(p_lin, o, axis=0), jnp.roll(p_lin, -o, axis=0),
                    jnp.roll(p_lin, o, axis=1), jnp.roll(p_lin, -o, axis=1)]
+        valids += [jnp.broadcast_to(row >= o, (R, D)),
+                   jnp.broadcast_to(row < R - o, (R, D)),
+                   jnp.broadcast_to(col >= o, (R, D)),
+                   jnp.broadcast_to(col < D - o, (R, D))]
     stack = jnp.stack(shifts)                                  # [4T, R, D]
-    k = min(int(round(rank * (stack.shape[0] - 1))), stack.shape[0] - 1)
-    return jnp.sort(stack, axis=0)[k]
+    valid = jnp.stack(valids)
+    stack = jnp.where(valid, stack, jnp.inf)
+    n_valid = jnp.sum(valid, axis=0)                           # [R, D]
+    k = jnp.clip(jnp.round(rank * (n_valid - 1)).astype(jnp.int32),
+                 0, stack.shape[0] - 1)
+    est = jnp.take_along_axis(jnp.sort(stack, axis=0), k[None], axis=0)[0]
+    # A cell with no valid training samples (degenerate tiny maps) falls
+    # back to the global mean so downstream thresholds stay finite.
+    return jnp.where(jnp.isfinite(est), est, jnp.mean(p_lin))
 
 
 def power_spectrum_db(rds: jax.Array) -> jax.Array:

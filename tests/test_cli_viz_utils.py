@@ -143,3 +143,47 @@ def test_sequence_quality_analysis(tmp_path):
     assert abs(q["total_distance"] - 20.0) < 1e-6
     assert q["velocity_stats"]["mean"] == 10.0
     assert q["duration_seconds"] > 0
+
+
+def test_cli_analyze_data_insights_multiseq(tmp_path, capsys):
+    """analyze-data over two synthetic runs: JSON + markdown dataset rollup
+    (parity with scripts/analyze_data.py plus multi-sequence aggregation;
+    VERDICT round-1 item 10 done criterion)."""
+    runs = []
+    for name in ("seq_a", "seq_b"):
+        run = tmp_path / name
+        assert cli_main(["pipeline", "--out", str(run),
+                         "--max-frames", "3"]) == 0
+        runs.append(run)
+    out_dir = tmp_path / "agg"
+    rc = cli_main(["analyze-data", "--output", str(runs[0]),
+                   "--output", str(runs[1]), "--insights",
+                   "--out", str(out_dir)])
+    assert rc == 0
+    data = json.loads((out_dir / "insights.json").read_text())
+    assert data["sequences"] == 2
+    assert data["total_frames"] == 6
+    assert data["total_peaks"] > 0
+    md = (out_dir / "insights.md").read_text()
+    assert "## seq_a" in md and "## seq_b" in md
+    assert "Close/medium/far" in md
+
+
+def test_cli_analyze_data_single_frame_and_compare(tmp_path, capsys):
+    run = tmp_path / "run"
+    assert cli_main(["pipeline", "--out", str(run), "--max-frames", "3"]) == 0
+    capsys.readouterr()                      # drain the pipeline's output
+    rc = cli_main(["analyze-data", "--output", str(run), "--frame", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[:out.rindex("}") + 1])
+    assert m["frame"] == 1
+    assert m["peaks"]["num_detections"] > 0
+    assert m["rds_quality"]["dynamic_range_db"] > 10
+    rc = cli_main(["analyze-data", "--output", str(run), "--compare"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = json.loads(out[:out.rindex("}") + 1])
+    assert m["frames"] == 3
+    rc = cli_main(["analyze-data", "--output", str(tmp_path / "nope")])
+    assert rc == 2

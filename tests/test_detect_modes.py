@@ -131,3 +131,36 @@ def test_clutter_map_in_scan_driver():
     out = pipe.process_sequence(batches, jax.random.key(0), cfg)
     v = np.asarray(out.motion.velocity)[1:]
     np.testing.assert_allclose(v[:, 0], 8.0, atol=0.3)
+
+
+def test_os_noise_no_doppler_edge_wrap():
+    """A strong return at one Doppler edge must NOT train cells at the
+    OPPOSITE edge (round-1 weak item 10: circular rolls made edge cells see
+    the far border; fast ego folds real targets to the Doppler edges).
+    Reference: brute-force order statistic with explicit boundaries."""
+    from radar_slam_tpu.signal.detect import _os_noise
+
+    rng = np.random.default_rng(0)
+    R, D, T, G, Q = 64, 32, 8, 2, 0.75
+    p = rng.uniform(1.0, 2.0, (R, D)).astype(np.float32)
+    p[30, 0] = 1e6                    # strong target at the Doppler edge
+    got = np.asarray(_os_noise(jnp.asarray(p), T, G, Q))
+
+    # Brute-force reference with out-of-bounds samples EXCLUDED.
+    def ref_cell(r, d):
+        samples = []
+        for o in range(G + 1, G + T + 1):
+            for rr, dd in ((r - o, d), (r + o, d), (r, d - o), (r, d + o)):
+                if 0 <= rr < R and 0 <= dd < D:
+                    samples.append(p[rr, dd])
+        s = np.sort(samples)
+        return s[int(round(Q * (len(s) - 1)))]
+
+    for (r, d) in [(30, D - 1), (30, D - 3), (0, 5), (R - 1, 5), (30, 8),
+                   (5, 0), (30, 1)]:
+        np.testing.assert_allclose(got[r, d], ref_cell(r, d), rtol=1e-6,
+                                   err_msg=f"cell ({r}, {d})")
+    # The opposite-edge cell in the same range row must be clean noise, not
+    # contaminated by the 1e6 target (the old circular roll put it there
+    # within the guard+train band).
+    assert got[30, D - 1] < 10.0

@@ -129,3 +129,65 @@ def test_schur_block_step(eight_devices):
         poses = ba.schur_gn_step(g._replace(poses=poses), mesh)
     c1 = float(posegraph.total_cost(poses, g))
     assert c1 < 1e-2 * max(c0, 1e-9), (c0, c1)
+
+
+def _loopy_graph(n=64, drift=0.08, seed=0):
+    g = make_noisy_chain(n=n, drift=drift, seed=seed)
+    g = g._replace(
+        fi=jnp.concatenate([g.fi, jnp.zeros(1, g.fi.dtype)]),
+        fj=jnp.concatenate([g.fj, jnp.zeros(1, g.fj.dtype)]),
+        delta=jnp.concatenate([g.delta, jnp.zeros((1, 3))]),
+        info=jnp.concatenate([g.info, jnp.zeros((1, 3))]),
+        factor_valid=jnp.concatenate([g.factor_valid,
+                                      jnp.zeros(1, bool)]))
+    i1, j1 = 4, min(60, n - 4)
+    i2, j2 = 10, min(40, n - 2)
+    g = posegraph.add_loop_closure(
+        g, slot=0, i=i1, j=j1, delta=jnp.array([0.5, 0.0, 0.0]),
+        info=jnp.array([1e4, 1e4, 1e4]))
+    g = posegraph.add_loop_closure(
+        g, slot=1, i=i2, j=j2, delta=jnp.array([-0.2, 0.3, 0.05]),
+        info=jnp.array([5e3, 5e3, 5e3]))
+    return g
+
+
+def test_schur_loopy_step_equals_dense_gn_step(eight_devices):
+    """ONE distributed Schur+Woodbury step on a graph with two active loop
+    closures must equal the exact dense damped-GN step (round 1 required
+    empty loop slots; VERDICT round-1 item 6)."""
+    g = _loopy_graph(n=16, drift=0.05)
+    mesh = make_mesh(8)
+    damping = 1e-5
+    N = g.poses.shape[0]
+
+    # Dense reference: materialize H column-by-column from the HVP.
+    g_grad = np.asarray(ba._block_gradient(g.poses, g)
+                        + ba._anchor_terms(g.poses, g)).reshape(-1)
+    H = np.zeros((3 * N, 3 * N))
+    for k in range(3 * N):
+        e = jnp.zeros((N, 3)).at[k // 3, k % 3].set(1.0)
+        H[:, k] = np.asarray(ba._block_hvp(g.poses, g, e)).reshape(-1)
+    H[np.arange(3), np.arange(3)] += np.asarray(g.anchor_info)
+    H += damping * np.eye(3 * N)
+    dense = np.asarray(g.poses) - np.linalg.solve(H, g_grad).reshape(N, 3)
+    dense[:, 2] = np.arctan2(np.sin(dense[:, 2]), np.cos(dense[:, 2]))
+
+    schur = np.asarray(ba.schur_gn_step(g, mesh, damping=damping))
+    np.testing.assert_allclose(schur, dense, atol=2e-3)
+
+
+def test_schur_with_loop_closures_converges(eight_devices):
+    """Iterated Schur steps on a loopy 64-keyframe graph reach GN-CG's cost
+    and close the loop residuals."""
+    g = _loopy_graph(n=64, drift=0.08)
+    mesh = make_mesh(8)
+
+    _, c_cg = ba.gauss_newton_cg(g, mesh=None, gn_iters=10, cg_iters=80)
+    poses = g.poses
+    for _ in range(12):
+        poses = ba.schur_gn_step(g._replace(poses=poses), mesh)
+    c_schur = float(posegraph.total_cost(poses, g))
+    assert c_schur <= 1.05 * float(c_cg) + 1e-6, (c_schur, float(c_cg))
+    # The loop residuals themselves must be closed.
+    r = np.asarray(posegraph.factor_residuals(poses, g))[-2:]
+    assert np.linalg.norm(r, axis=1).max() < 0.05, r
