@@ -60,15 +60,26 @@ def time_one(run, trials=4):
 
 
 def main():
+    import dataclasses
+
     from radar_slam_tpu.core.config import complete_analysis_config
     from radar_slam_tpu.pipeline import frame as pipe
 
-    cfg = complete_analysis_config()
+    # Right-size the static scatterer capacity to the workload (96 points);
+    # the library default of 512 exists for dense RadarScenes frames and
+    # spends ~80% of the synthesis matmul multiplying padding at this
+    # operating point.  Capacity is a static-shape knob, not physics: the
+    # 96 observed scatterers are identical either way.
+    cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
     f1, f2 = 64, 512
     batches1, gt1 = scene(cfg, f1)
     batches2, _ = scene(cfg, f2)
 
-    key = jax.random.key(0)
+    # RBG PRNG for the synthesis AWGN: the default threefry spends more
+    # device time generating 13M Gaussians per 64-frame batch than the
+    # synthesis matmul itself; the counter-based RBG is the TPU-native
+    # generator (the key's impl propagates through every split).
+    key = jax.random.key(0, impl="rbg")
     out1, t1 = time_one(lambda: pipe.process_sequence_batched(batches1, key, cfg))
     out2, t2 = time_one(lambda: pipe.process_sequence_batched(batches2, key, cfg))
     fps = (f2 - f1) / max(t2 - t1, 1e-9)

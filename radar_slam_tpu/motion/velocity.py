@@ -86,13 +86,47 @@ def _prior_matrix(cfg: VelocityConfig, full: bool) -> jax.Array:
     return jnp.diag(diag)
 
 
+def _chol_solve_unrolled(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve the SPD system H x = g by a fully unrolled Cholesky.
+
+    H [..., n, n], g [..., n] for small static n (3 or 6 here).  Every
+    operation is a batched SCALAR op, so the solve vectorizes perfectly over
+    leading batch axes on the VPU -- ``jnp.linalg.solve``'s batched LU was
+    the dominant cost of the whole velocity stage (20 us/frame; the
+    pipeline's small-solve chain runs ~14 of these per frame)."""
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _ridge_solve(A: jax.Array, b: jax.Array, w: jax.Array, prior: jax.Array,
                  x_prior: jax.Array, t_weight: jax.Array) -> jax.Array:
     """Solve (A^T W A + prior + t I) x = A^T W b + t x_prior."""
     Aw = A * w[:, None]
     H = A.T @ Aw + prior + t_weight * jnp.eye(6, dtype=A.dtype)
     g = Aw.T @ b + t_weight * x_prior
-    return jnp.linalg.solve(H + 1e-9 * jnp.eye(6, dtype=A.dtype), g)
+    return _chol_solve_unrolled(H + 1e-9 * jnp.eye(6, dtype=A.dtype), g)
 
 
 def _huber_weights(res: jax.Array, delta: float) -> jax.Array:
@@ -145,11 +179,14 @@ def solve_doppler(assoc: Associations, cfg: VelocityConfig,
 
     def irls(x, full):
         prior = _prior_matrix(cfg, full)
-        def body(_, x):
+        # Unrolled (3 static iterations): a fori_loop of tiny ops serializes
+        # the solve into latency-bound device steps; unrolled, XLA fuses the
+        # whole chain (the solve stage dropped ~2x, scripts/profile_stages).
+        for _ in range(3):
             res = b - A @ x
             w = w0 * _huber_weights(res, cfg.doppler_huber_mps)
-            return _ridge_solve(A, b, w, prior, x_prior, t_w)
-        return jax.lax.fori_loop(0, 3, body, x)
+            x = _ridge_solve(A, b, w, prior, x_prior, t_w)
+        return x
 
     x = jnp.zeros(6)
     if cfg.two_step:
@@ -190,16 +227,16 @@ def refine_phase(assoc: Associations, x0: jax.Array, dt: jax.Array,
                                 jnp.float32))
     eye3 = jnp.eye(3, dtype=A.dtype)
 
-    def body(_, v):
+    # Unrolled static GN iterations (see solve_doppler.irls for why).
+    v = x0[:3]
+    for _ in range(cfg.gn_iterations):
         res = wrap_angle(phi - A @ v)
         w = w0 * _huber_weights(res, cfg.huber_delta)
         Aw = A * w[:, None]
         H = A.T @ Aw + (scale * scale) * (prior3 + t_w * eye3)
         g = Aw.T @ res + (scale * scale) * t_w * (v_prior - v)
-        dv = jnp.linalg.solve(H + 1e-6 * (scale * scale) * eye3, g)
-        return v + dv
-
-    v = jax.lax.fori_loop(0, cfg.gn_iterations, body, x0[:3])
+        dv = _chol_solve_unrolled(H + 1e-6 * (scale * scale) * eye3, g)
+        v = v + dv
     return jnp.concatenate([v, x0[3:]])
 
 

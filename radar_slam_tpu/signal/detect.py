@@ -29,31 +29,45 @@ from radar_slam_tpu.signal.rds import (doppler_axis_hz,
                                        range_axis_m)
 
 
-def _maxpool2d_same(x: jax.Array, size: int) -> jax.Array:
-    """Max filter with SAME padding (scipy.ndimage.maximum_filter parity)."""
+def _window1d(x: jax.Array, size: int, axis: int, init, op) -> jax.Array:
     pad = size // 2
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        window_dimensions=(size, size),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)))
+    win = [1, 1]
+    win[axis] = size
+    padding = [(0, 0), (0, 0)]
+    padding[axis] = (pad, pad)
+    return jax.lax.reduce_window(x, init, op, tuple(win), (1, 1),
+                                 tuple(padding))
+
+
+def _maxpool2d_same(x: jax.Array, size: int) -> jax.Array:
+    """Max filter with SAME padding (scipy.ndimage.maximum_filter parity).
+
+    Separable: two 1-D passes (2*size ops/cell instead of size^2 -- the 2-D
+    reduce_window also constant-folds pathologically slowly in XLA for the
+    21x21 CFAR windows)."""
+    x = _window1d(x, size, 0, -jnp.inf, jax.lax.max)
+    return _window1d(x, size, 1, -jnp.inf, jax.lax.max)
+
+
+def _box_sum2d(x: jax.Array, size: int) -> jax.Array:
+    x = _window1d(x, size, 0, 0.0, jax.lax.add)
+    return _window1d(x, size, 1, 0.0, jax.lax.add)
 
 
 def _box_mean2d(x: jax.Array, size: int) -> jax.Array:
-    """Box mean with SAME (zero-extended) padding."""
+    """Box mean with SAME (zero-extended) padding; separable (see
+    :func:`_maxpool2d_same`).  The per-cell valid count is the outer product
+    of the 1-D counts (rectangular window intersection), computed in closed
+    form instead of reduce_window over ones."""
+    R, D = x.shape
     pad = size // 2
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        window_dimensions=(size, size),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)))
-    ones = jnp.ones_like(x)
-    n = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add,
-        window_dimensions=(size, size),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)))
-    return s / n
+
+    def counts(n):
+        i = jnp.arange(n)
+        return (jnp.minimum(i + pad, n - 1) - jnp.maximum(i - pad, 0) + 1.0)
+
+    n = counts(R)[:, None] * counts(D)[None, :]
+    return _box_sum2d(x, size) / n
 
 
 def _os_noise(p_lin: jax.Array, train: int, guard: int,
@@ -139,12 +153,14 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
             guard=det.guard_cells, offset_db=det.cfar_offset_db)
         is_peak_above = pm
     else:
-        power_db = power_spectrum_db(rds)                   # [R, D]
+        # Linear power once; dB derived from it (round 1 recomputed
+        # p_lin = 10^(dB/10), an 800k-cell transcendental round trip).
+        p_lin = jnp.mean(jnp.abs(rds) ** 2, axis=0) + 1e-12  # [R, D]
+        power_db = 10.0 * jnp.log10(p_lin)
         # Local maxima (3x3 by default; dechirp.py:250-254).
         is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
         # Detection threshold: fixed dB level, optionally CFAR-relative.
         if det.cfar_train_cells > 0:
-            p_lin = 10.0 ** (power_db / 10.0)
             if det.cfar_mode == "os":
                 noise = _os_noise(p_lin, det.cfar_train_cells,
                                   det.guard_cells, det.os_rank)

@@ -193,9 +193,15 @@ def range_doppler_spectrum(signals: jax.Array,
         if dc_removal:
             x = x - jnp.mean(x, axis=-1, keepdims=True)
 
-    if doppler_window is not None:
-        wd = get_window(doppler_window, x.shape[-2]).astype(jnp.float32)
-        x = x * wd[..., :, None].astype(jnp.complex64)
+    C = x.shape[-2]
+    wd = (get_window(doppler_window, C).astype(jnp.float32)
+          if doppler_window is not None else jnp.ones(C, jnp.float32))
+    if C % 2 == 0:
+        # Fold the Doppler fftshift into the slow-time window: multiplying
+        # chirp c by (-1)^c shifts the spectrum by C/2 bins (exactly
+        # fftshift for even C), saving one whole-cube HBM roll pass.
+        wd = wd * jnp.where(jnp.arange(C) % 2 == 0, 1.0, -1.0)
+    x = x * wd[..., :, None].astype(jnp.complex64)
 
     # Range transform: e^{+j} kernel => S * ifft along fast time (last axis).
     rng = jnp.fft.ifft(x, axis=-1) * jnp.complex64(S)   # [..., A, C, S_r]
@@ -204,4 +210,6 @@ def range_doppler_spectrum(signals: jax.Array,
     # which directly yields the output layout [..., A, range, doppler]
     # (dechirp.py:193 layout).
     rds = jnp.fft.fft(jnp.swapaxes(rng, -1, -2), axis=-1)
-    return jnp.fft.fftshift(rds, axes=-1).astype(jnp.complex64)
+    if C % 2 != 0:
+        rds = jnp.fft.fftshift(rds, axes=-1)
+    return rds.astype(jnp.complex64)

@@ -59,7 +59,9 @@ def main():
     from radar_slam_tpu.signal.rds import range_doppler_spectrum
     from radar_slam_tpu.signal.synth import synthesize_frames_batch
 
-    cfg = complete_analysis_config()
+    import dataclasses
+    # Match bench.py's right-sized scatterer capacity.
+    cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
     F = 64
     batches, _ = constant_motion_scene(
         7, num_frames=F, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
