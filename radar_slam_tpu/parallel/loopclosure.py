@@ -128,18 +128,18 @@ def find_loop_closures(points: jax.Array, valid: jax.Array,
     """
     poses = np.asarray(poses)
     F = len(poses)
-    # Candidate pairs (host): close in space, far in time; keep the closest
-    # per j, budgeted.
-    cands = []
-    for j in range(F):
-        best = None
-        for i in range(0, j - cfg.min_separation):
-            d = np.hypot(*(poses[j, :2] - poses[i, :2]))
-            if d < cfg.revisit_radius and (best is None or d < best[0]):
-                best = (d, i)
-        if best is not None:
-            cands.append((best[1], j))
-    cands = cands[:cfg.max_candidates]
+    # Candidate pairs: close in space, far in time; keep the closest i per
+    # query j, budgeted.  One [F, F] distance matrix (vectorized host
+    # numpy; this path is O(F^2) memory by design -- the scan-context
+    # proposer in ``parallel/scancontext.py`` is the scalable alternative).
+    d = np.linalg.norm(poses[None, :, :2] - poses[:, None, :2], axis=-1)
+    i_idx = np.arange(F)[None, :]
+    j_idx = np.arange(F)[:, None]
+    d = np.where(i_idx <= j_idx - cfg.min_separation, d, np.inf)
+    best_i = np.argmin(d, axis=1)
+    best_d = d[np.arange(F), best_i]
+    js = np.nonzero(best_d < cfg.revisit_radius)[0]
+    cands = [(int(best_i[j]), int(j)) for j in js[:cfg.max_candidates]]
     if not cands:
         return []
 

@@ -1,0 +1,280 @@
+"""Scan-context loop-closure retrieval: descriptor-based revisit proposal.
+
+The pose-gated proposer (``loopclosure.find_loop_closures``) can only find
+revisits that the *estimated* trajectory already places within a few metres
+— exactly the estimates loop closure exists to fix.  This tier retrieves
+candidates from the radar detections themselves (Scan Context, Kim & Kim
+IROS 2018, adapted to sparse 2-D radar point sets), so retrieval quality is
+independent of odometric drift.  The reference has no counterpart (it has
+no loop closure at all: ``/root/reference/src/pose_integration/
+pose_integration.py`` integrates open-loop).
+
+TPU-first design — every stage is a fixed-shape batched device program:
+
+- **Descriptor** ``[R, S]`` (rings x sectors): log-occupancy of detections
+  on a polar grid, built with one ``segment_sum`` per frame and vmapped
+  over the sequence (no per-point Python).
+- **Ring key** ``[R]``: sector-marginalised occupancy — rotation invariant
+  by construction.  Stage-1 retrieval over all keyframe pairs is ONE
+  ``[F, R] @ [R, F]`` matmul + a static top-M per query.
+- **Stage 2**: the scan-context distance needs the best circular sector
+  shift (= relative yaw).  All ``S`` shifts are evaluated at once via FFT
+  cross-correlation along the sector axis (``O(S log S)`` instead of
+  ``O(S^2)``, batched over candidate pairs), which also yields the yaw
+  initialisation handed to the SE(2) ICP verifier.
+- **Verification** reuses the masked batched ICP (``loopclosure.icp_se2``),
+  run from two inits per candidate (SC yaw + zero translation, and the
+  pose-estimate relative transform when available); the better basin wins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_slam_tpu.parallel.loopclosure import LoopClosureConfig, icp_se2
+from radar_slam_tpu.utils.host import device_get
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanContextConfig:
+    n_rings: int = 16
+    n_sectors: int = 48
+    max_range: float = 45.0      # points beyond are dropped [m]
+    min_range: float = 0.5       # points inside are dropped (self-returns)
+    top_m: int = 4               # stage-1 candidates kept per query frame
+    # Stage-2 acceptance: true revisits score ~0.6-0.7 (tests/test_scancontext
+    # circle scenes; exact rotations of the same cloud ~0.7-1.0), while the
+    # best coincidental corridor match observed scores ~0.45.
+    sim_threshold: float = 0.55  # stage-2 mean occupied-column cosine sim
+    min_overlap: int = 6         # min mutually occupied sectors per shift
+    min_separation: int = 20     # temporal gate [frames]
+    max_candidates: int = 16     # static verification budget
+
+
+# ---------------------------------------------------------------------------
+# Descriptors
+# ---------------------------------------------------------------------------
+
+def _descriptor_one(points: jax.Array, valid: jax.Array,
+                    cfg: ScanContextConfig) -> jax.Array:
+    """Polar log-occupancy descriptor [R, S] for one frame's detections."""
+    R, S = cfg.n_rings, cfg.n_sectors
+    rng = jnp.hypot(points[:, 0], points[:, 1])
+    az = jnp.arctan2(points[:, 1], points[:, 0])          # [-pi, pi)
+    ring = jnp.floor(rng / cfg.max_range * R).astype(jnp.int32)
+    sector = jnp.floor((az + jnp.pi) / (2 * jnp.pi) * S).astype(jnp.int32)
+    sector = jnp.clip(sector, 0, S - 1)
+    ok = valid & (rng >= cfg.min_range) & (rng < cfg.max_range)
+    flat = jnp.where(ok, ring * S + sector, R * S)        # invalid -> spill
+    counts = jax.ops.segment_sum(jnp.ones_like(rng), flat,
+                                 num_segments=R * S + 1)
+    return jnp.log1p(counts[:-1]).reshape(R, S)
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def build_descriptors(points: jax.Array, valid: jax.Array,
+                      cfg: ScanContextConfig) -> jax.Array:
+    """Scan-context descriptors for a sequence: [F, K, 2], [F, K] -> [F, R, S]."""
+    return jax.vmap(lambda p, v: _descriptor_one(p, v, cfg))(points, valid)
+
+
+def ring_keys(desc: jax.Array) -> jax.Array:
+    """Rotation-invariant ring keys [..., R]: sector-mean, unit-normalised."""
+    key = jnp.mean(desc, axis=-1)
+    return key / jnp.maximum(jnp.linalg.norm(key, axis=-1, keepdims=True),
+                             1e-9)
+
+
+def _unit_columns(desc: jax.Array) -> jax.Array:
+    """Normalise each sector column (over rings) to unit norm."""
+    return desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-2, keepdims=True), 1e-9)
+
+
+def sc_correlate(desc_a: jax.Array, desc_b: jax.Array,
+                 min_overlap: int = 6) -> Tuple[jax.Array, jax.Array]:
+    """Scan-context similarity maximised over circular sector shifts.
+
+    Args:
+        desc_a / desc_b: [..., R, S] descriptors (batch dims broadcast).
+        min_overlap: shifts with fewer mutually occupied sectors are
+            rejected (guards against trivial high scores from one or two
+            coincidentally matching columns).
+
+    Returns:
+        (sim, shift): sim [...] = max_n mean over *mutually occupied*
+        sectors of cos(a_hat[:, s], b_hat[:, s+n]) — the original
+        scan-context normalisation, which matters for limited-FOV radar
+        where most sectors are empty — and the argmax integer shift [...]
+        with b's sectors advanced by ``shift``.  All S shifts come from one
+        FFT cross-correlation along sectors (the occupancy overlap count
+        uses the same transform on the binary column masks).
+    """
+    S = desc_a.shape[-1]
+    a = _unit_columns(desc_a)
+    b = _unit_columns(desc_b)
+    occ_a = jnp.any(desc_a > 0, axis=-2).astype(jnp.float32)
+    occ_b = jnp.any(desc_b > 0, axis=-2).astype(jnp.float32)
+    fa = jnp.fft.rfft(a, axis=-1)
+    fb = jnp.fft.rfft(b, axis=-1)
+    # c[n] = sum_r sum_s a[r, s] * b[r, (s + n) mod S]
+    corr = jnp.fft.irfft(jnp.sum(jnp.conj(fa) * fb, axis=-2), n=S, axis=-1)
+    overlap = jnp.fft.irfft(jnp.conj(jnp.fft.rfft(occ_a, axis=-1))
+                            * jnp.fft.rfft(occ_b, axis=-1), n=S, axis=-1)
+    overlap = jnp.round(overlap)
+    sim = jnp.where(overlap >= min_overlap,
+                    corr / jnp.maximum(overlap, 1.0), -1.0)
+    return jnp.max(sim, axis=-1), jnp.argmax(sim, axis=-1)
+
+
+def shift_to_yaw(shift: jax.Array, n_sectors: int) -> jax.Array:
+    """Relative yaw implied by a sector shift.
+
+    For ``sc_correlate(desc_i, desc_j) -> shift``, the yaw of frame j's
+    pose expressed in frame i is ``-shift * 2pi / S`` (a +yaw ego rotation
+    moves world features to *smaller* body azimuths), wrapped to [-pi, pi).
+    Convention verified empirically in ``tests/test_scancontext.py``.
+    """
+    ang = -shift * (2 * jnp.pi / n_sectors)
+    return jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_m", "min_separation"))
+def _stage1_candidates(keys: jax.Array, top_m: int, min_separation: int):
+    """Ring-key retrieval: for each query j, the top-M earlier frames i.
+
+    One [F, F] matmul + static top-k; pairs with i > j - min_separation are
+    masked out (queries only look backwards in time).
+    """
+    F = keys.shape[0]
+    sim = keys @ keys.T                                    # [F, F]
+    i_idx = jnp.arange(F)[None, :]
+    j_idx = jnp.arange(F)[:, None]
+    sim = jnp.where(i_idx <= j_idx - min_separation, sim, -jnp.inf)
+    vals, idx = jax.lax.top_k(sim, top_m)                  # per query j
+    return vals, idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_m", "min_separation", "min_overlap"))
+def _stage2_scores(desc: jax.Array, top_m: int, min_separation: int,
+                   min_overlap: int):
+    """Full retrieval program: ring-key top-M then FFT-shift similarity.
+
+    Returns per (query j, rank m): stage-1 validity, candidate index i,
+    SC similarity, best sector shift.
+    """
+    keys = ring_keys(desc)
+    s1_vals, s1_idx = _stage1_candidates(keys, top_m, min_separation)
+    cand = desc[s1_idx.reshape(-1)]                        # [F*M, R, S]
+    query = jnp.repeat(desc, top_m, axis=0)                # [F*M, R, S]
+    sim, shift = sc_correlate(cand, query, min_overlap)    # i-frame vs j-frame
+    return (jnp.isfinite(s1_vals).reshape(-1), s1_idx.reshape(-1),
+            sim, shift)
+
+
+def propose_candidates(desc: jax.Array, cfg: ScanContextConfig
+                       ) -> List[dict]:
+    """Rank revisit candidates by descriptor similarity.
+
+    Returns at most ``cfg.max_candidates`` dicts {i, j, sim, yaw} sorted by
+    descending similarity, deduplicated to one candidate per query frame j.
+    """
+    F = int(desc.shape[0])
+    if F <= cfg.min_separation:
+        return []
+    ok, ii, sim, shift = device_get(_stage2_scores(
+        desc, cfg.top_m, cfg.min_separation, cfg.min_overlap))
+    jj = np.repeat(np.arange(F), cfg.top_m)
+    yaw = np.asarray(shift_to_yaw(jnp.asarray(shift), cfg.n_sectors))
+
+    order = np.argsort(-sim)
+    out, used_j = [], set()
+    for k in order:
+        if not ok[k] or sim[k] < cfg.sim_threshold:
+            continue
+        j = int(jj[k])
+        if j in used_j:
+            continue
+        used_j.add(j)
+        out.append({"i": int(ii[k]), "j": j, "sim": float(sim[k]),
+                    "yaw": float(yaw[k])})
+        if len(out) >= cfg.max_candidates:
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: retrieve + ICP-verify
+# ---------------------------------------------------------------------------
+
+def find_loop_closures_sc(points: jax.Array, valid: jax.Array,
+                          poses: Optional[np.ndarray] = None,
+                          cfg: LoopClosureConfig = LoopClosureConfig(),
+                          sc: ScanContextConfig = ScanContextConfig()
+                          ) -> List[dict]:
+    """Descriptor-retrieved, ICP-verified loop closures.
+
+    Drop-in alternative to ``loopclosure.find_loop_closures`` with the same
+    output contract ({i, j, delta, rmse, inliers} dicts for
+    ``posegraph.add_loop_closure``), but candidates come from scan-context
+    retrieval so detection survives unbounded odometric drift.  ``poses``
+    is optional and only seeds one of the two ICP inits.
+
+    Each candidate is verified from two initialisations — (0, 0, yaw_sc)
+    and, when poses are given, the estimated relative transform — batched
+    in a single vmapped ICP; the init with more inliers (ties: lower RMSE)
+    wins.
+    """
+    sc = dataclasses.replace(sc, min_separation=max(sc.min_separation,
+                                                    cfg.min_separation),
+                             max_candidates=cfg.max_candidates)
+    desc = build_descriptors(points, valid, sc)
+    cands = propose_candidates(desc, sc)
+    if not cands:
+        return []
+
+    ii = np.array([c["i"] for c in cands])
+    jj = np.array([c["j"] for c in cands])
+    init_sc = np.zeros((len(cands), 3), np.float32)
+    init_sc[:, 2] = [c["yaw"] for c in cands]
+    if poses is not None:
+        poses = np.asarray(poses)
+        from radar_slam_tpu.parallel.loopclosure import _relative_pose
+        init_pose = np.stack([_relative_pose(poses[a], poses[b])
+                              for a, b in zip(ii, jj)]).astype(np.float32)
+    else:
+        init_pose = init_sc
+    inits = np.stack([init_sc, init_pose], axis=1)         # [P, 2, 3]
+
+    run = jax.jit(jax.vmap(jax.vmap(
+        lambda s, sv, d, dv, x0: icp_se2(
+            s, sv, d, dv, x0, iters=cfg.icp_iters, gate=cfg.match_gate),
+        in_axes=(None, None, None, None, 0)),
+        in_axes=(0, 0, 0, 0, 0)))
+    deltas, rmses, inliers = device_get(run(
+        points[jj], valid[jj], points[ii], valid[ii], jnp.asarray(inits)))
+
+    # Pick the better init per pair: most inliers, then lowest RMSE.
+    pick = np.argmax(inliers - 1e-4 * rmses, axis=1)
+    take = np.arange(len(cands))
+    deltas, rmses, inliers = (deltas[take, pick], rmses[take, pick],
+                              inliers[take, pick])
+
+    out = []
+    for k, c in enumerate(cands):
+        if inliers[k] >= cfg.min_inliers and rmses[k] <= cfg.max_rmse:
+            out.append({"i": int(ii[k]), "j": int(jj[k]),
+                        "delta": deltas[k], "rmse": float(rmses[k]),
+                        "inliers": int(inliers[k]), "sim": c["sim"]})
+    return out

@@ -32,7 +32,8 @@ def targets_to_points(range_m: np.ndarray, azimuth_rad: np.ndarray,
 
 def refine_sequence_output(out, dt: float,
                            lc_cfg: LoopClosureConfig = LoopClosureConfig(),
-                           mesh=None, solver: str = "cg") -> Dict:
+                           mesh=None, solver: str = "cg",
+                           proposer: str = "pose") -> Dict:
     """Refine a pipeline :class:`~radar_slam_tpu.pipeline.frame.FrameOutput`
     sequence (scan or batched driver) with loop-closure pose-graph GN."""
     from radar_slam_tpu.utils.host import device_get
@@ -43,7 +44,7 @@ def refine_sequence_output(out, dt: float,
     return refine_trajectory(
         vel, wz, ok, dt,
         frame_points=out.target_xy, frame_valid=out.target_valid,
-        lc_cfg=lc_cfg, mesh=mesh, solver=solver)
+        lc_cfg=lc_cfg, mesh=mesh, solver=solver, proposer=proposer)
 
 
 def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
@@ -52,7 +53,7 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                       frame_valid: Optional[jax.Array] = None,
                       lc_cfg: LoopClosureConfig = LoopClosureConfig(),
                       mesh=None, gn_iters: int = 10, cg_iters: int = 60,
-                      solver: str = "cg") -> Dict:
+                      solver: str = "cg", proposer: str = "pose") -> Dict:
     """Build + solve the pose graph for one sequence.
 
     Args:
@@ -66,6 +67,10 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
             Schur elimination with the Woodbury loop correction
             (``ba.schur_gn_step``; requires ``mesh``).  Keyframes are padded
             with weak zero-motion factors to a multiple of the mesh size.
+        proposer: "pose" -- revisit candidates gated on the open-loop pose
+            estimates (``loopclosure.find_loop_closures``); "scancontext"
+            -- descriptor retrieval independent of odometric drift
+            (``scancontext.find_loop_closures_sc``).
 
     Returns dict with open-loop poses [F+1, 3], refined poses [F+1, 3],
     accepted loop closures, and final graph cost.
@@ -97,10 +102,25 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
 
     loops = []
     if frame_points is not None:
-        loops = find_loop_closures(frame_points, frame_valid,
-                                   open_poses[:F], lc_cfg)
-        info = jnp.full(3, lc_cfg.info_scale)
+        if proposer == "scancontext":
+            from radar_slam_tpu.parallel.scancontext import \
+                find_loop_closures_sc
+            loops = find_loop_closures_sc(frame_points, frame_valid,
+                                          open_poses[:F], lc_cfg)
+        elif proposer == "pose":
+            loops = find_loop_closures(frame_points, frame_valid,
+                                       open_poses[:F], lc_cfg)
+        else:
+            raise ValueError(f"Unknown loop-closure proposer: {proposer}")
         for slot, lc in enumerate(loops[:cap]):
+            # Information from the ICP fit quality: var ~ rmse^2 / inliers
+            # (standard error of the registration), capped at info_scale.
+            # A tight revisit (rmse ~ mm) gets the full weight; a long-
+            # baseline noisy match constrains the graph only as much as its
+            # measurement supports instead of overruling good odometry.
+            var = max(lc["rmse"] ** 2 / max(lc["inliers"], 1),
+                      1.0 / lc_cfg.info_scale)
+            info = jnp.full(3, 1.0 / var)
             graph = posegraph.add_loop_closure(
                 graph, slot, lc["i"], lc["j"],
                 jnp.asarray(lc["delta"]), info)

@@ -178,8 +178,9 @@ def cmd_analyze(args) -> int:
         if solver == "schur":
             from radar_slam_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(len(jax.devices()))
-        res = slam.refine_sequence_output(out, cfg.frame_dt, mesh=mesh,
-                                          solver=solver)
+        res = slam.refine_sequence_output(
+            out, cfg.frame_dt, mesh=mesh, solver=solver,
+            proposer=getattr(args, "slam_proposer", "pose"))
         F = len(gt_poses)
         metrics["slam_loop_closures"] = len(res["loop_closures"])
         if gt_poses is not None:
@@ -545,6 +546,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pose-graph solver: distributed GN-CG or "
                          "keyframe-block Schur elimination (+ Woodbury "
                          "loop correction) over the device mesh")
+    sp.add_argument("--slam-proposer", choices=("pose", "scancontext"),
+                    default="pose",
+                    help="loop-closure candidate proposer: revisit gate on "
+                         "estimated poses, or drift-independent scan-"
+                         "context descriptor retrieval")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("quick-compare",
