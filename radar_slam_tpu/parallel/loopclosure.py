@@ -135,6 +135,8 @@ def find_loop_closures(points: jax.Array, valid: jax.Array,
     d = np.linalg.norm(poses[None, :, :2] - poses[:, None, :2], axis=-1)
     i_idx = np.arange(F)[None, :]
     j_idx = np.arange(F)[:, None]
+    # Temporal gate convention: pairs with j - i >= min_separation are
+    # admitted (same >= convention as scancontext._stage1_candidates).
     d = np.where(i_idx <= j_idx - cfg.min_separation, d, np.inf)
     best_i = np.argmin(d, axis=1)
     best_d = d[np.arange(F), best_i]

@@ -193,9 +193,13 @@ def propose_candidates(desc: jax.Array, cfg: ScanContextConfig
     F = int(desc.shape[0])
     if F <= cfg.min_separation:
         return []
+    # Clamp the per-query candidate count to the sequence length: top_k
+    # requires k <= F, and a config with min_separation < top_m would
+    # otherwise crash on short sequences.
+    top_m = min(cfg.top_m, F)
     ok, ii, sim, shift = device_get(_stage2_scores(
-        desc, cfg.top_m, cfg.min_separation, cfg.min_overlap))
-    jj = np.repeat(np.arange(F), cfg.top_m)
+        desc, top_m, cfg.min_separation, cfg.min_overlap))
+    jj = np.repeat(np.arange(F), top_m)
     yaw = np.asarray(shift_to_yaw(jnp.asarray(shift), cfg.n_sectors))
 
     order = np.argsort(-sim)
@@ -254,7 +258,10 @@ def find_loop_closures_sc(points: jax.Array, valid: jax.Array,
         init_pose = np.stack([_relative_pose(poses[a], poses[b])
                               for a, b in zip(ii, jj)]).astype(np.float32)
     else:
-        init_pose = init_sc
+        # No pose estimates: use the identity as a distinct second basin
+        # (duplicating init_sc would burn half the verification compute on
+        # an identical ICP run).
+        init_pose = np.zeros((len(cands), 3), np.float32)
     inits = np.stack([init_sc, init_pose], axis=1)         # [P, 2, 3]
 
     run = jax.jit(jax.vmap(jax.vmap(

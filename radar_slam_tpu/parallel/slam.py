@@ -112,6 +112,12 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                                        open_poses[:F], lc_cfg)
         else:
             raise ValueError(f"Unknown loop-closure proposer: {proposer}")
+        # Lever arm for the angular information: a yaw error d_theta moves a
+        # point at radius r by r*d_theta, so the registration's positional
+        # variance maps to an angular variance of var / r_bar^2 (r_bar =
+        # mean radius of the scene points actually matched).
+        pv = np.asarray(frame_valid)
+        pr = np.linalg.norm(np.asarray(frame_points), axis=-1)
         for slot, lc in enumerate(loops[:cap]):
             # Information from the ICP fit quality: var ~ rmse^2 / inliers
             # (standard error of the registration), capped at info_scale.
@@ -120,7 +126,11 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
             # measurement supports instead of overruling good odometry.
             var = max(lc["rmse"] ** 2 / max(lc["inliers"], 1),
                       1.0 / lc_cfg.info_scale)
-            info = jnp.full(3, 1.0 / var)
+            vj = pv[lc["j"]]
+            r_bar = float(pr[lc["j"]][vj].mean()) if vj.any() else 1.0
+            var_theta = max(var / max(r_bar, 1.0) ** 2,
+                            1.0 / lc_cfg.info_scale)
+            info = jnp.array([1.0 / var, 1.0 / var, 1.0 / var_theta])
             graph = posegraph.add_loop_closure(
                 graph, slot, lc["i"], lc["j"],
                 jnp.asarray(lc["delta"]), info)

@@ -4,8 +4,7 @@ artifacts, SURVEY.md section 5: "no step/state resume within a stage").
 Checkpoints any pytree of arrays (e.g. the streaming ``FrameState``, the
 pose-graph, smoother tables) to a single ``.npz`` plus a JSON treedef, and
 restores it with the original structure.  Orbax is available in the image
-for heavyweight use; this lightweight path has no extra dependencies and is
-what the streaming runtime uses for crash recovery.
+for heavyweight use; this lightweight path has no extra dependencies.
 """
 
 from __future__ import annotations
