@@ -29,18 +29,26 @@ from radar_slam_tpu.core.types import Detections, Targets
 from radar_slam_tpu.signal.detect import extract_spatial_signatures
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "aoa", "method", "smooth"))
-def process_targets_robust(rds: jax.Array, detections: Detections,
+@functools.partial(jax.jit, static_argnames=("cfg", "aoa", "method", "smooth",
+                                             "doppler_bins"))
+def process_targets_robust(rds: jax.Array | None, detections: Detections,
                            state: smoothing.SmootherState,
                            cfg: RadarConfig, aoa: AoAConfig,
                            method: str = "beamforming",
-                           smooth: bool = True
+                           smooth: bool = True,
+                           signatures: jax.Array | None = None,
+                           doppler_bins: int | None = None,
                            ) -> Tuple[Targets, smoothing.SmootherState]:
     """Full robust per-frame AoA stage.
 
+    ``rds`` may be None when ``signatures`` [K, A] are precomputed (the
+    fused detection path recomputes them from the ADC cube via
+    ``signal/rds.py:detection_signatures``); ``doppler_bins`` must then be
+    given (it keys the temporal smoother's cell IDs).
+
     Returns (targets [K], new smoother state)."""
     K = detections.range_bin.shape[0]
-    D = rds.shape[-1]
+    D = rds.shape[-1] if rds is not None else doppler_bins
 
     # Power filter + top-max_targets (robust_angle_estimation.py:362-365);
     # detections are sorted by descending power already.
@@ -48,7 +56,8 @@ def process_targets_robust(rds: jax.Array, detections: Detections,
             & (detections.power_db > aoa.power_filter_db)
             & (jnp.arange(K) < aoa.max_targets))
 
-    signatures = extract_spatial_signatures(rds, detections)        # [K, A]
+    if signatures is None:
+        signatures = extract_spatial_signatures(rds, detections)    # [K, A]
 
     # Multipath / model order from covariance eigenvalues (:140-218).
     R = estimators.signature_covariances(signatures)

@@ -303,11 +303,18 @@ class PipelineConfig:
     # surrounding program, so it is the default.
     use_pallas: bool = False
     # RDS transform backend: "fft" (XLA FFT), "matmul" (DFTs as XLA matmuls
-    # with dechirp/window/DC folded into the DFT matrices), or "pallas"
+    # with dechirp/window/DC folded into the DFT matrices), "pallas"
     # (fused single-kernel: frame resident in VMEM, both DFT matmuls on the
-    # MXU, one HBM read + one write).  See signal/rds.py.
+    # MXU, one HBM read + one write), or "fused" (the complex RDS cube is
+    # NEVER built: the detection stage runs on a fused Pallas
+    # dechirp->DFT->power kernel and spatial signatures are recomputed at
+    # f32 for only the detected cells).  See signal/rds.py.
     fft_mode: str = "fft"
     dft_precision: str = "highest"       # matmul/pallas MXU precision
+    # MXU precision of the fused power kernel's range DFT ("default" = bf16:
+    # ~0.013 dB power-map error, inside every CFAR margin; signatures always
+    # recompute at f32).
+    power_precision: str = "default"
     # Synthesis model used when the pipeline starts from scatterers:
     # "tpu" (physics-fixed, signal/synth.py module docstring) or "reference"
     # (reproduces the reference simulator's quirks -- no slow-time Doppler
@@ -338,7 +345,13 @@ def complete_analysis_config() -> PipelineConfig:
     Detection uses CA-CFAR (the reference's fixed -25 dB threshold admits
     the sidelobe skirts of strong close targets; measured on the synthetic
     corridor workload CFAR cuts velocity error from -1.6+-2.2 m/s to
-    -0.015+-0.018 m/s)."""
+    -0.015+-0.018 m/s).
+
+    fft_mode="fused": detection runs on the fused Pallas power kernel (the
+    complex RDS cube is never materialized; ops/power_pallas.py).  Measured
+    on chip (scripts/bench_fused.py): power stage 578 us vs 1751 us per
+    64-frame batch isolated, e2e 12.9k vs 11.6k frames/s, pose error
+    unchanged (0.526 vs 0.538 m)."""
     return PipelineConfig(
         radar=RadarConfig(num_chirps=32, noise_power=1e-6),
         detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
@@ -349,6 +362,7 @@ def complete_analysis_config() -> PipelineConfig:
         velocity=VelocityConfig(max_velocity=30.0, max_angular_velocity=5.0,
                                 regularization_weight=0.01),
         pose=PoseConfig(planar=True),
+        fft_mode="fused",
     )
 
 

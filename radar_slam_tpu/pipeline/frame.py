@@ -32,8 +32,9 @@ from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.pose import planar_pose_step
 from radar_slam_tpu.motion.velocity import solve_velocity
 from radar_slam_tpu.signal import detect as detect_mod
-from radar_slam_tpu.signal.detect import detect_peaks
-from radar_slam_tpu.signal.rds import range_doppler_spectrum
+from radar_slam_tpu.signal.detect import detect_peaks, detect_peaks_from_power
+from radar_slam_tpu.signal.rds import (detection_signatures,
+                                       range_doppler_spectrum, rds_power)
 from radar_slam_tpu.signal.synth import synthesize_frame
 
 
@@ -107,19 +108,43 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
     XLA reuses its buffers in place (smoother table, prev targets) instead
     of allocating per frame -- callers must not read a state object after
     passing it in."""
-    rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
-                                 chirp_subset=cfg.chirp_subset,
-                                 doppler_window=cfg.doppler_window,
-                                 use_pallas=cfg.use_pallas,
-                                 fft_mode=cfg.fft_mode,
-                                 dft_precision=cfg.dft_precision)
-    det = detect_peaks(rds, cfg.radar, cfg.detection,
-                       use_pallas=cfg.use_pallas, clutter_lin=state.clutter)
-    clutter = (detect_mod.clutter_map_update(
-        state.clutter, rds, cfg.detection.clutter_map_alpha)
-        if state.clutter is not None else None)
-    targets, smoother = aoa_robust.process_targets_robust(
-        rds, det, state.smoother, cfg.radar, cfg.aoa, method=cfg.aoa.method)
+    if cfg.fft_mode == "fused":
+        # Fused detection path: power map straight from the ADC cube (the
+        # complex RDS cube is never materialized), signatures recomputed at
+        # f32 for only the detected cells.  See signal/rds.py:rds_power.
+        p_lin = rds_power(signals, cfg.radar, window=cfg.window,
+                          chirp_subset=cfg.chirp_subset,
+                          doppler_window=cfg.doppler_window,
+                          dft_precision=cfg.power_precision)
+        det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
+                                      clutter_lin=state.clutter)
+        sigs = detection_signatures(signals, det.range_bin, det.doppler_bin,
+                                    cfg.radar, window=cfg.window,
+                                    chirp_subset=cfg.chirp_subset,
+                                    doppler_window=cfg.doppler_window)
+        clutter = (detect_mod.clutter_map_update_from_power(
+            state.clutter, p_lin, cfg.detection.clutter_map_alpha)
+            if state.clutter is not None else None)
+        targets, smoother = aoa_robust.process_targets_robust(
+            None, det, state.smoother, cfg.radar, cfg.aoa,
+            method=cfg.aoa.method, signatures=sigs,
+            doppler_bins=p_lin.shape[-1])
+    else:
+        rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
+                                     chirp_subset=cfg.chirp_subset,
+                                     doppler_window=cfg.doppler_window,
+                                     use_pallas=cfg.use_pallas,
+                                     fft_mode=cfg.fft_mode,
+                                     dft_precision=cfg.dft_precision)
+        det = detect_peaks(rds, cfg.radar, cfg.detection,
+                           use_pallas=cfg.use_pallas,
+                           clutter_lin=state.clutter)
+        clutter = (detect_mod.clutter_map_update(
+            state.clutter, rds, cfg.detection.clutter_map_alpha)
+            if state.clutter is not None else None)
+        targets, smoother = aoa_robust.process_targets_robust(
+            rds, det, state.smoother, cfg.radar, cfg.aoa,
+            method=cfg.aoa.method)
 
     assoc = associate_targets(targets, state.prev_targets,
                               cfg.frame_dt, cfg.velocity)
@@ -228,15 +253,28 @@ def frame_features(signals: jax.Array, cfg: PipelineConfig):
     from radar_slam_tpu.aoa import estimators
     from radar_slam_tpu.signal.detect import extract_spatial_signatures
 
-    rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
-                                 chirp_subset=cfg.chirp_subset,
-                                 doppler_window=cfg.doppler_window,
-                                 use_pallas=cfg.use_pallas,
-                                 fft_mode=cfg.fft_mode,
-                                 dft_precision=cfg.dft_precision)
-    det = detect_peaks(rds, cfg.radar, cfg.detection,
-                       use_pallas=cfg.use_pallas)
-    sigs = extract_spatial_signatures(rds, det)
+    if cfg.fft_mode == "fused":
+        # See process_signals: detection from the fused power kernel,
+        # signatures recomputed for only the detected cells.
+        p_lin = rds_power(signals, cfg.radar, window=cfg.window,
+                          chirp_subset=cfg.chirp_subset,
+                          doppler_window=cfg.doppler_window,
+                          dft_precision=cfg.power_precision)
+        det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection)
+        sigs = detection_signatures(signals, det.range_bin, det.doppler_bin,
+                                    cfg.radar, window=cfg.window,
+                                    chirp_subset=cfg.chirp_subset,
+                                    doppler_window=cfg.doppler_window)
+    else:
+        rds = range_doppler_spectrum(signals, cfg.radar, window=cfg.window,
+                                     chirp_subset=cfg.chirp_subset,
+                                     doppler_window=cfg.doppler_window,
+                                     use_pallas=cfg.use_pallas,
+                                     fft_mode=cfg.fft_mode,
+                                     dft_precision=cfg.dft_precision)
+        det = detect_peaks(rds, cfg.radar, cfg.detection,
+                           use_pallas=cfg.use_pallas)
+        sigs = extract_spatial_signatures(rds, det)
     K = det.range_bin.shape[0]
     keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
             & (jnp.arange(K) < cfg.aoa.max_targets))

@@ -94,9 +94,15 @@ class EgoMotionPipeline:
         if signals is None:
             signals = self._load_raw_frames()
         cfg = self.cfg
+        # The six-step orchestrator materializes the complex RDS cube by
+        # design (stage artifacts + step-3 signature gathering consume it),
+        # so the fused detection mode falls back to the XLA FFT here; the
+        # cube-free fused path lives in the streaming/batched drivers
+        # (pipeline/frame.py).
+        mode = "fft" if cfg.fft_mode == "fused" else cfg.fft_mode
         rds = jax.vmap(lambda s: range_doppler_spectrum(
             s, cfg.radar, window=cfg.window, chirp_subset=cfg.chirp_subset,
-            doppler_window=cfg.doppler_window, fft_mode=cfg.fft_mode,
+            doppler_window=cfg.doppler_window, fft_mode=mode,
             dft_precision=cfg.dft_precision))(signals)
         det = jax.vmap(lambda r: detect_peaks(r, cfg.radar, cfg.detection))(rds)
         jax.block_until_ready((rds, det))

@@ -40,8 +40,9 @@ from radar_slam_tpu.motion.pose import planar_pose_step
 from radar_slam_tpu.motion.velocity import solve_velocity
 from radar_slam_tpu.pipeline.frame import FrameOutput, FrameState
 from radar_slam_tpu.signal import detect as detect_mod
-from radar_slam_tpu.signal.detect import detect_peaks
-from radar_slam_tpu.signal.rds import range_doppler_spectrum
+from radar_slam_tpu.signal.detect import detect_peaks, detect_peaks_from_power
+from radar_slam_tpu.signal.rds import (detection_signatures,
+                                       range_doppler_spectrum, rds_power)
 from radar_slam_tpu.signal.synth import synthesize_frame
 
 Rig = Tuple[Tuple[float, float, float], ...]  # ((x, y, yaw) per sensor)
@@ -126,6 +127,27 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
 
     def per_sensor(sc, k, sm, cl):
         sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
+        if cfg.fft_mode == "fused":
+            # Fused detection path (see pipeline/frame.py:process_signals):
+            # power map straight from the ADC cube, signatures recomputed
+            # at f32 for only the detected cells.
+            p_lin = rds_power(sig, cfg.radar, window=cfg.window,
+                              chirp_subset=cfg.chirp_subset,
+                              doppler_window=cfg.doppler_window,
+                              dft_precision=cfg.power_precision)
+            det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
+                                          clutter_lin=cl)
+            sigs = detection_signatures(sig, det.range_bin, det.doppler_bin,
+                                        cfg.radar, window=cfg.window,
+                                        chirp_subset=cfg.chirp_subset,
+                                        doppler_window=cfg.doppler_window)
+            cl = (detect_mod.clutter_map_update_from_power(
+                cl, p_lin, cfg.detection.clutter_map_alpha)
+                if cl is not None else None)
+            targets, sm = aoa_robust.process_targets_robust(
+                None, det, sm, cfg.radar, cfg.aoa, method=cfg.aoa.method,
+                signatures=sigs, doppler_bins=p_lin.shape[-1])
+            return targets, sm, cl
         rds = range_doppler_spectrum(sig, cfg.radar, window=cfg.window,
                                      chirp_subset=cfg.chirp_subset,
                                      doppler_window=cfg.doppler_window,

@@ -124,7 +124,14 @@ def clutter_map_update(clutter_lin: jax.Array, rds: jax.Array,
     threshold; transient targets do not.  The map starts at zero (no effect)
     and warms up over ~1/alpha frames."""
     p = jnp.mean(jnp.abs(rds) ** 2, axis=0)
-    return (1.0 - alpha) * clutter_lin + alpha * p
+    return clutter_map_update_from_power(clutter_lin, p, alpha)
+
+
+def clutter_map_update_from_power(clutter_lin: jax.Array, p_lin: jax.Array,
+                                  alpha: float) -> jax.Array:
+    """:func:`clutter_map_update` from a precomputed power map (the fused
+    detection path already has ``mean_a |rds|^2``)."""
+    return (1.0 - alpha) * clutter_lin + alpha * p_lin
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "det", "use_pallas"))
@@ -140,9 +147,6 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
     :func:`clutter_map_update`); cells must additionally exceed it by
     ``det.clutter_offset_db``.
     """
-    K = det.max_detections
-    R, D = rds.shape[-2:]
-
     if use_pallas and det.cfar_mode != "ca":
         use_pallas = False  # the fused Pallas kernel implements CA only
     if use_pallas:
@@ -156,32 +160,63 @@ def detect_peaks(rds: jax.Array, cfg: RadarConfig,
         # Linear power once; dB derived from it (round 1 recomputed
         # p_lin = 10^(dB/10), an 800k-cell transcendental round trip).
         p_lin = jnp.mean(jnp.abs(rds) ** 2, axis=0) + 1e-12  # [R, D]
-        power_db = 10.0 * jnp.log10(p_lin)
-        # Local maxima (3x3 by default; dechirp.py:250-254).
-        is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
-        # Detection threshold: fixed dB level, optionally CFAR-relative.
-        if det.cfar_train_cells > 0:
-            if det.cfar_mode == "os":
-                noise = _os_noise(p_lin, det.cfar_train_cells,
-                                  det.guard_cells, det.os_rank)
-            elif det.cfar_mode == "ca":
-                train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
-                guard = 2 * det.guard_cells + 1
-                noise = _box_mean2d(p_lin, train)
-                if det.guard_cells > 0:
-                    # Exclude the guard+cell region from the training average.
-                    g = _box_mean2d(p_lin, guard)
-                    n_train = train * train
-                    n_guard = guard * guard
-                    noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
-            else:
-                raise ValueError(f"Unknown cfar_mode: {det.cfar_mode}")
-            noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
-            thresh = jnp.maximum(noise_db + det.cfar_offset_db,
-                                 det.threshold_db)
+        power_db, is_peak_above = _threshold_power(p_lin, det)
+    return _finalize_detections(power_db, is_peak_above, cfg, det,
+                                clutter_lin)
+
+
+def _threshold_power(p_lin: jax.Array, det: DetectionConfig):
+    """Local-max + (CFAR-relative) threshold mask from a linear power map.
+
+    Returns (power_db [R, D], is_peak_above [R, D])."""
+    power_db = 10.0 * jnp.log10(p_lin)
+    # Local maxima (3x3 by default; dechirp.py:250-254).
+    is_peak = _maxpool2d_same(power_db, det.neighborhood) == power_db
+    # Detection threshold: fixed dB level, optionally CFAR-relative.
+    if det.cfar_train_cells > 0:
+        if det.cfar_mode == "os":
+            noise = _os_noise(p_lin, det.cfar_train_cells,
+                              det.guard_cells, det.os_rank)
+        elif det.cfar_mode == "ca":
+            train = 2 * det.cfar_train_cells + 2 * det.guard_cells + 1
+            guard = 2 * det.guard_cells + 1
+            noise = _box_mean2d(p_lin, train)
+            if det.guard_cells > 0:
+                # Exclude the guard+cell region from the training average.
+                g = _box_mean2d(p_lin, guard)
+                n_train = train * train
+                n_guard = guard * guard
+                noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
         else:
-            thresh = jnp.float32(det.threshold_db)
-        is_peak_above = is_peak & (power_db > thresh)
+            raise ValueError(f"Unknown cfar_mode: {det.cfar_mode}")
+        noise_db = 10.0 * jnp.log10(jnp.maximum(noise, 1e-12))
+        thresh = jnp.maximum(noise_db + det.cfar_offset_db,
+                             det.threshold_db)
+    else:
+        thresh = jnp.float32(det.threshold_db)
+    return power_db, is_peak & (power_db > thresh)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "det"))
+def detect_peaks_from_power(p_lin: jax.Array, cfg: RadarConfig,
+                            det: DetectionConfig,
+                            clutter_lin: jax.Array | None = None
+                            ) -> Detections:
+    """:func:`detect_peaks` from a precomputed linear power map [R, D]
+    (``mean_a |rds|^2``) -- the fused detection path, fed by
+    ``signal/rds.py:rds_power`` so the complex RDS cube is never built."""
+    power_db, is_peak_above = _threshold_power(p_lin + 1e-12, det)
+    return _finalize_detections(power_db, is_peak_above, cfg, det,
+                                clutter_lin)
+
+
+def _finalize_detections(power_db: jax.Array, is_peak_above: jax.Array,
+                         cfg: RadarConfig, det: DetectionConfig,
+                         clutter_lin: jax.Array | None) -> Detections:
+    """Shared tail of the detectors: range gate, clutter gate, top-K, NMS,
+    sub-bin interpolation (see :func:`detect_peaks`)."""
+    K = det.max_detections
+    R, D = power_db.shape
 
     # Range gate (dechirp.py:263).
     ranges = range_axis_m(cfg, R)                           # [R]

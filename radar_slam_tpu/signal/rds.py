@@ -119,6 +119,123 @@ def _rds_matmul(signals: jax.Array, mix: jax.Array, dc_removal: bool,
     return rds.astype(jnp.complex64)
 
 
+def _mix_vector(cfg: RadarConfig, window: str, input_domain: str,
+                S: int) -> jax.Array:
+    """Dechirp x fast-time-window vector [S] (complex64)."""
+    w = get_window(window, S).astype(jnp.float32)
+    if input_domain == "raw":
+        return (jnp.conj(reference_chirp(cfg)) * w).astype(jnp.complex64)
+    if input_domain == "baseband":
+        return w.astype(jnp.complex64)
+    raise ValueError(f"Unknown input domain: {input_domain}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "dc_removal", "input_domain",
+                     "chirp_subset", "doppler_window", "mode",
+                     "dft_precision"))
+def rds_power(signals: jax.Array,
+              cfg: RadarConfig,
+              window: str = "hann",
+              dc_removal: bool = True,
+              input_domain: str = "baseband",
+              chirp_subset: Optional[Tuple[int, int]] = None,
+              doppler_window: Optional[str] = None,
+              mode: str = "auto",
+              dft_precision: str = "default") -> jax.Array:
+    """Non-coherent power map ``mean_a |rds|^2`` WITHOUT materializing the
+    complex RDS cube (the fused detection path; VERDICT round-2 item 1).
+
+    Args/conventions match :func:`range_doppler_spectrum`; returns float32
+    [..., range_bins, doppler_bins].
+
+    mode: "pallas" -- the fused kernel (ops/power_pallas.py); "xla" -- the
+    XLA FFT path + power (numerically identical to the default
+    ``range_doppler_spectrum`` chain); "auto" -- pallas on TPU backends,
+    xla elsewhere (the CPU test mesh cannot run compiled Mosaic kernels).
+    """
+    if chirp_subset is not None:
+        signals = signals[..., chirp_subset[0]:chirp_subset[1], :]
+    if mode == "auto":
+        mode = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "xla")
+    if mode == "pallas":
+        from radar_slam_tpu.ops.power_pallas import rds_power_fused
+        mix = _mix_vector(cfg, window, input_domain, signals.shape[-1])
+        return rds_power_fused(signals, mix, dc_removal, doppler_window,
+                               precision_name=dft_precision)
+    if mode != "xla":
+        raise ValueError(f"Unknown rds_power mode: {mode}")
+    rds = range_doppler_spectrum(signals, cfg, window=window,
+                                 dc_removal=dc_removal,
+                                 input_domain=input_domain,
+                                 doppler_window=doppler_window)
+    return jnp.mean(jnp.abs(rds) ** 2, axis=-3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "dc_removal", "input_domain",
+                     "chirp_subset", "doppler_window"))
+def detection_signatures(signals: jax.Array,
+                         range_bin: jax.Array,
+                         doppler_bin: jax.Array,
+                         cfg: RadarConfig,
+                         window: str = "hann",
+                         dc_removal: bool = True,
+                         input_domain: str = "baseband",
+                         chirp_subset: Optional[Tuple[int, int]] = None,
+                         doppler_window: Optional[str] = None) -> jax.Array:
+    """Unit-power spatial signatures [K, A] for K detected RDS cells,
+    recomputed directly from the ADC cube at f32 (HIGHEST) precision.
+
+    ``signature_k = rds[:, r_k, d_k] / ||.||`` (angle_estimation.py:83-90)
+    exactly as :func:`~radar_slam_tpu.signal.detect.
+    extract_spatial_signatures` gathers it from a full cube -- but here only
+    the K needed DFT coefficients are evaluated (O(A C S K) vs O(A C S S)),
+    so the fused detection path never builds the cube.
+
+    Args:
+        signals: complex64 [A, C, S] one frame's cube.
+        range_bin / doppler_bin: int32 [K] detected cells.
+    """
+    if chirp_subset is not None:
+        signals = signals[..., chirp_subset[0]:chirp_subset[1], :]
+    A, C, S = signals.shape
+    mix = _mix_vector(cfg, window, input_domain, S)
+
+    # Column r of range_dft_matrix: mix * (e^{+2j pi s r / S} - [r == 0])
+    # (the DC projector only perturbs the r = 0 column; see
+    # range_dft_matrix).
+    s = jnp.arange(S, dtype=jnp.float32)
+    rb = range_bin.astype(jnp.float32)
+    w_rng = jnp.exp(1j * (2.0 * jnp.pi / S) * jnp.outer(s, rb)
+                    ).astype(jnp.complex64)                        # [S, K]
+    if dc_removal:
+        w_rng = w_rng - (range_bin[None, :] == 0).astype(jnp.complex64)
+    w_rng = mix[:, None] * w_rng
+
+    # Column d of doppler_dft_matrix: window * e^{-2j pi c f(d) / C} with
+    # the fftshift column order f(d) = (d - C//2) mod C.
+    c = jnp.arange(C, dtype=jnp.float32)
+    f = jnp.mod(doppler_bin - C // 2, C).astype(jnp.float32)
+    w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C) * jnp.outer(c, f)
+                    ).astype(jnp.complex64)                        # [C, K]
+    if doppler_window is not None:
+        wd = get_window(doppler_window, C).astype(jnp.float32)
+        w_dop = wd[:, None] * w_dop
+
+    g = jnp.einsum("acs,sk->ack", signals, w_rng,
+                   precision=jax.lax.Precision.HIGHEST)            # [A, C, K]
+    sig = jnp.einsum("ack,ck->ka", g, w_dop,
+                     precision=jax.lax.Precision.HIGHEST)          # [K, A]
+    power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
+    sig = jnp.where(power > 0, sig / jnp.sqrt(jnp.maximum(power, 1e-30)),
+                    sig)
+    return sig.astype(jnp.complex64)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "dc_removal", "input_domain",
