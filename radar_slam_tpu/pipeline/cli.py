@@ -41,6 +41,9 @@ def _cfg_from_args(args):
         cfg = dataclasses.replace(
             cfg, radar=dataclasses.replace(cfg.radar,
                                            num_chirps=args.num_chirps))
+    if getattr(args, "aoa_method", None):
+        cfg = dataclasses.replace(
+            cfg, aoa=dataclasses.replace(cfg.aoa, method=args.aoa_method))
     return cfg
 
 
@@ -117,6 +120,12 @@ def cmd_pipeline(args) -> int:
     from radar_slam_tpu.pipeline.pipeline import EgoMotionPipeline
 
     cfg = _cfg_from_args(args)
+    if not getattr(args, "aoa_method", None):
+        # The reference's batch pipeline runs MUSIC as its step-3 estimator
+        # (run_ego_motion_pipeline.py:183 -> angle_estimation.py:253,
+        # method='music'); parity default unless overridden.
+        cfg = dataclasses.replace(
+            cfg, aoa=dataclasses.replace(cfg.aoa, method="music"))
     if args.dataset:
         batches, gt = _load_dataset_frames(args, cfg)
         gt_vel = None
@@ -505,6 +514,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-frames", type=int, default=None)
         sp.add_argument("--num-chirps", type=int, default=None)
         sp.add_argument("--fast", action="store_true", default=True)
+        sp.add_argument("--aoa-method", default=None,
+                        choices=("beamforming", "music", "esprit"),
+                        help="AoA estimator (default: config; the six-step "
+                             "pipeline defaults to music for reference "
+                             "parity)")
         if dataset:
             sp.add_argument("--dataset", default=None,
                             help="RadarScenes root (synthetic scene if unset)")
