@@ -2,12 +2,12 @@
 """End-to-end benchmark: full radar ego-motion pipeline frames/s on one chip.
 
 Workload = BASELINE.json config 2 (synthetic raw FMCW): point-cloud
-scatterers -> FMCW synthesis -> dechirp + 2-D range-Doppler FFT -> CFAR
-detection -> robust AoA (beamforming + confidence + MDL + smoothing) ->
-association -> two-step 6-DoF velocity solve -> pose integration, at the
-reference's complete-analysis operating point (32 chirps, 8 antennas,
-400 samples, 2 deg grid, top-50 targets; radarscenes_complete_analysis.py:
-47-87).
+scatterers -> FMCW synthesis -> fused dechirp+DFT+power kernel -> CFAR
+detection -> f32 signature recompute -> robust AoA (beamforming +
+confidence + MDL + smoothing) -> association -> two-step 6-DoF velocity
+solve -> pose integration, at the reference's complete-analysis operating
+point (32 chirps, 8 antennas, 400 samples, 2 deg grid, top-50 targets;
+radarscenes_complete_analysis.py:47-87).
 
 Timing methodology (this container's TPU tunnel makes naive timing lie in
 BOTH directions: ``block_until_ready`` resolves before device completion,
@@ -17,20 +17,31 @@ and each dispatch pays a ~1-2 ms synchronous round trip):
 - per-frame device time is obtained by DIFFERENCING two sequence lengths
   (F2 - F1 frames in one dispatch each), cancelling the constant
   dispatch/fetch overhead;
-- the reported frames/s is (F2 - F1) / (T2 - T1), best of several trials.
+- the reported frames/s is (F2 - F1) / (T2 - T1), best of several trials;
+- per-stage times chain iterations inside one program (fori_loop) and
+  difference two iteration counts.
+
+Regression gates (VERDICT round-2 item 2 -- the old gate admitted 9.6 m of
+drift):
+- ``pos_err_bound_ok``: final open-loop pose error <= 0.6 m over the 51 m /
+  64-frame path (recorded r02 value: 0.538 m);
+- ``adversarial_ok``: a movers+clutter mismatch scene must stay inside the
+  reference parity bound (position RMSE <= 0.777 m);
+- ``sane`` requires both plus >90 % solve success.
 
 Baseline: the reference's real pipeline runs 3.28-4.14 s/frame on CPU
 (results/analysis/output_radarscenes/sequence_9_results.json; BASELINE.md)
 -> 0.27 frames/s.  vs_baseline = our frames/s / 0.27.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, ...}
 """
 
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -59,10 +70,89 @@ def time_one(run, trials=4):
     return out, best
 
 
+def chained_time(fn, x0, iters=24):
+    """Per-call device time: iterate inside one program, difference two
+    iteration counts (scripts/bench_kernels.py methodology)."""
+    @jax.jit
+    def chained(x, n):
+        def body(i, acc):
+            xi = jax.tree.map(
+                lambda a: a * (1 + 1e-7 * i)
+                if jnp.issubdtype(a.dtype, jnp.inexact) else a, x)
+            leaf = jax.tree.leaves(fn(xi))[0]
+            return acc + jnp.sum(jnp.real(leaf).reshape(-1)[:4]
+                                 ).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def t(n):
+        float(np.asarray(chained(x0, n)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(x0, n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    base = max(iters // 4, 1)
+    return max(t(iters) - t(base), 1e-12) / (iters - base)
+
+
+def stage_breakdown(cfg, batches, key):
+    """Device time of the heavy per-frame stages over the 64-frame batch."""
+    from radar_slam_tpu.signal.detect import detect_peaks_from_power
+    from radar_slam_tpu.signal.rds import detection_signatures, rds_power
+    from radar_slam_tpu.signal.synth import synthesize_frames_batch
+
+    signals = synthesize_frames_batch(batches, cfg.radar, key)
+    p_lin = rds_power(signals, cfg.radar, window=cfg.window,
+                      doppler_window=cfg.doppler_window,
+                      dft_precision=cfg.power_precision)
+    det = jax.jit(jax.vmap(lambda p: detect_peaks_from_power(
+        p, cfg.radar, cfg.detection)))(p_lin)
+
+    stages = {
+        "synth": chained_time(
+            lambda b: synthesize_frames_batch(b, cfg.radar, key), batches),
+        "power_fused": chained_time(
+            lambda s: rds_power(s, cfg.radar, window=cfg.window,
+                                doppler_window=cfg.doppler_window,
+                                dft_precision=cfg.power_precision), signals),
+        "detect": chained_time(
+            lambda p: jax.vmap(lambda x: detect_peaks_from_power(
+                x, cfg.radar, cfg.detection))(p), p_lin),
+        "signatures": chained_time(
+            lambda s: jax.vmap(lambda x, r, d: detection_signatures(
+                x, r, d, cfg.radar, window=cfg.window,
+                doppler_window=cfg.doppler_window))(
+                    s, det.range_bin, det.doppler_bin), signals),
+    }
+    return {k: round(v * 1e6, 1) for k, v in stages.items()}
+
+
+def adversarial_check(cfg):
+    """Movers + clutter mismatch scene through the batched driver; the
+    parity bound (0.777 m position RMSE) is the pass line."""
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+    from radar_slam_tpu.io.synthetic import (MismatchConfig, SceneConfig,
+                                             mismatch_scene)
+    from radar_slam_tpu.pipeline import frame as pipe
+
+    mm = MismatchConfig(num_movers=4, mover_points=3, mover_oncoming=True,
+                        clutter_per_frame=10)
+    batches, gt = mismatch_scene(
+        3, 12, cfg.frame_dt, (8.0, 0.5), 0.1,
+        SceneConfig(num_points=48, max_scatterers=cfg.max_scatterers), mm)
+    out = pipe.process_sequence_batched(batches, jax.random.key(0), cfg)
+    m = planar_pose_errors(np.asarray(out.pose), np.asarray(gt["poses"]))
+    return round(float(m["position_rmse"]), 3), bool(
+        m["position_rmse"] <= 0.777)
+
+
 def main():
     import dataclasses
 
     from radar_slam_tpu.core.config import complete_analysis_config
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
     from radar_slam_tpu.pipeline import frame as pipe
 
     # Right-size the static scatterer capacity to the workload (96 points);
@@ -88,11 +178,19 @@ def main():
     _, t2s = time_one(lambda: pipe.process_sequence(batches2, key, cfg))
     fps_scan = (f2 - f1) / max(t2s - t1s, 1e-9)
 
-    # Sanity: the benchmark only counts if the pipeline actually works.
+    # Accuracy gates: the benchmark only counts if the pipeline works.
     ok = np.asarray(out1.motion.success)
-    pose_err = float(np.linalg.norm(
-        np.asarray(out1.pose)[-1][:2] - np.asarray(gt1["poses"])[-1][:2]))
-    sane = bool(ok[1:].mean() > 0.9) and pose_err < 0.15 * f1
+    pose_np = np.asarray(out1.pose)
+    gt_np = np.asarray(gt1["poses"])
+    pose_err = float(np.linalg.norm(pose_np[-1][:2] - gt_np[-1][:2]))
+    pos_rmse = round(float(
+        planar_pose_errors(pose_np, gt_np)["position_rmse"]), 3)
+    pos_err_bound_ok = pose_err <= 0.6          # recorded r02 value: 0.538
+    adv_rmse, adversarial_ok = adversarial_check(cfg)
+    sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok
+            and adversarial_ok)
+
+    stage_us = stage_breakdown(cfg, batches1, key)
 
     baseline_fps = 1.0 / 3.7   # reference complete-analysis s/frame midpoint
     result = {
@@ -105,6 +203,11 @@ def main():
         "dispatch_s_64f": round(t1, 4),
         "sane": sane,
         "final_pose_err_m": round(pose_err, 3),
+        "pos_rmse_m": pos_rmse,
+        "pos_err_bound_ok": pos_err_bound_ok,
+        "adversarial_rmse_m": adv_rmse,
+        "adversarial_ok": adversarial_ok,
+        "stage_us_per_64f": stage_us,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
