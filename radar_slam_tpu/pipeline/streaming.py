@@ -46,13 +46,27 @@ logger = logging.getLogger(__name__)
 
 
 class StreamingAnalyzer:
-    """Per-frame streaming ego-motion estimation with GT comparison."""
+    """Per-frame streaming ego-motion estimation with GT comparison.
+
+    Crash recovery (SURVEY.md section 5; surpasses the reference's only
+    recovery story -- whole-stage artifact re-runs,
+    ``scripts/run_ego_motion_pipeline.py:96-105``): pass ``checkpoint_dir``
+    to persist the full in-stage state (jitted ``FrameState`` pytree +
+    accumulated host-side results) every ``checkpoint_every`` frames via
+    ``utils/checkpointing.py``; a new analyzer calls
+    :meth:`restore_latest` and continues mid-sequence, reproducing the
+    uninterrupted trajectory exactly (``tests/test_streaming_resume.py``).
+    """
 
     def __init__(self, cfg: PipelineConfig, gt_fallback: bool = False,
-                 rotate_pose: bool = True):
+                 rotate_pose: bool = True,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 10):
         self.cfg = cfg
         self.gt_fallback = gt_fallback
         self.rotate_pose = rotate_pose
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(int(checkpoint_every), 1)
         self.reset()
 
     def reset(self, initial_pose: Optional[np.ndarray] = None):
@@ -61,6 +75,44 @@ class StreamingAnalyzer:
         self.state = frame_mod.init_state(self.cfg, init)
         self.results: Dict[str, List] = collections.defaultdict(list)
         self.frame_idx = 0
+
+    # -- checkpoint / resume --------------------------------------------
+
+    def save_checkpoint(self) -> None:
+        """Persist FrameState + accumulated results at the current frame."""
+        from pathlib import Path
+
+        from radar_slam_tpu.utils import checkpointing
+
+        d = Path(self.checkpoint_dir)
+        stem = d / f"state_{self.frame_idx:06d}"
+        checkpointing.save_pytree(stem, self.state, step=self.frame_idx)
+        np.savez(d / f"results_{self.frame_idx:06d}.npz",
+                 **{k: np.asarray(v) for k, v in self.results.items() if v})
+
+    def restore_latest(self) -> bool:
+        """Resume from the newest checkpoint in ``checkpoint_dir``.
+
+        Returns True when a checkpoint was found and loaded; the next
+        :meth:`process_frame` call continues at the restored
+        ``frame_idx``."""
+        from pathlib import Path
+
+        from radar_slam_tpu.utils import checkpointing
+
+        ckpt = checkpointing.latest_checkpoint(self.checkpoint_dir)
+        if ckpt is None:
+            return False
+        self.state, step = checkpointing.load_pytree(
+            ckpt.with_suffix(""), self.state)
+        self.frame_idx = step
+        rpath = Path(self.checkpoint_dir) / f"results_{step:06d}.npz"
+        self.results = collections.defaultdict(list)
+        if rpath.exists():
+            with np.load(rpath) as z:
+                for k in z.files:
+                    self.results[k] = list(z[k])
+        return True
 
     def process_frame(self, scatterers: ScattererBatch,
                       gt_pose: Optional[np.ndarray] = None,
@@ -98,6 +150,9 @@ class StreamingAnalyzer:
         if gt_velocity is not None:
             r["ground_truth_velocities"].append(np.asarray(gt_velocity))
         self.frame_idx += 1
+        if (self.checkpoint_dir is not None
+                and self.frame_idx % self.checkpoint_every == 0):
+            self.save_checkpoint()
         return {"success": success, "pose": est_pose,
                 "velocity": r["velocity_estimates"][-1],
                 "processing_time": dt_s}
@@ -105,9 +160,12 @@ class StreamingAnalyzer:
     def analyze_sequence(self, batches: ScattererBatch,
                          gt_poses: Optional[np.ndarray] = None,
                          gt_velocities: Optional[np.ndarray] = None) -> Dict:
-        """Run over stacked frame batches [F, S] (host loop, jitted step)."""
+        """Run over stacked frame batches [F, S] (host loop, jitted step).
+
+        Starts at the current ``frame_idx`` -- 0 for a fresh analyzer, or
+        mid-sequence after :meth:`restore_latest`."""
         F = batches.range_m.shape[0]
-        for i in range(F):
+        for i in range(self.frame_idx, F):
             sc = jax.tree.map(lambda x: x[i], batches)
             self.process_frame(
                 sc,
@@ -181,9 +239,12 @@ class RealTimeProcessor:
     (real_time_processor.py:177-417); compute is the real jitted step."""
 
     def __init__(self, cfg: PipelineConfig, queue_size: int = 8,
-                 buffer_frames: int = 100, metrics_window: int = 100):
+                 buffer_frames: int = 100, metrics_window: int = 100,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 10):
         self.cfg = cfg
-        self.analyzer = StreamingAnalyzer(cfg)
+        self.analyzer = StreamingAnalyzer(cfg, checkpoint_dir=checkpoint_dir,
+                                          checkpoint_every=checkpoint_every)
         self.buffer = FrameBuffer(max_frames=buffer_frames)
         self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self.processing_times: collections.deque = collections.deque(
