@@ -45,6 +45,7 @@ def test_two_process_distributed_smoke():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_OK pid={pid}" in out, out[-3000:]
+        assert "SOLVERS_OK" in out, out[-3000:]
     # Both processes computed the same global psum.
     psums = {line.split("psum=")[1].split()[0]
              for out in outs for line in out.splitlines()
