@@ -586,3 +586,104 @@ def pipeline_scatterer_pad(batch: ScattererBatch, cfg: PipelineConfig
     S = cfg.max_scatterers
     return ScattererBatch(*[pad_to(x, S, axis=-1) if x is not None else None
                             for x in batch])
+
+
+# ---------------------------------------------------------------------------
+# Loop-closure characterization scenes (detection-level point clouds)
+# ---------------------------------------------------------------------------
+
+def periodic_corridor_scene(seed: SeedLike, n_frames: int = 80,
+                            v: float = 6.0, dt: float = 0.1,
+                            period: float = 18.0, n_per_period: int = 28,
+                            jitter: float = 0.0,
+                            corridor_halfwidth: float = 6.0,
+                            max_range: float = 40.0, capacity: int = 160):
+    """Perceptually-aliased corridor for loop-closure false-positive tests.
+
+    Ego drives straight through a corridor whose wall-point pattern repeats
+    every ``period`` metres, so frames ``period / (v dt)`` apart see
+    near-identical local geometry WITHOUT being revisits -- the worst case
+    for descriptor-based retrieval (the aliasing the reference never faces
+    because it has no loop closure at all).  Each repetition independently
+    re-draws the base pattern with per-point ``jitter`` [m]: at descriptor
+    resolution (2.8 m rings x 7.5 deg sectors) jittered repeats still look
+    alike, but point-level verification (ICP) sees the difference.
+
+    Returns (gt_poses [F, 3], points [F, K, 2] jnp, valid [F, K] jnp) in
+    the detection-cloud convention of ``parallel/loopclosure.py``.
+    """
+    rng = _rng(seed)
+    poses = np.zeros((n_frames, 3))
+    poses[:, 0] = v * dt * np.arange(n_frames)
+
+    u = rng.uniform(0.0, period, n_per_period)
+    side = rng.choice([-1.0, 1.0], n_per_period)
+    y = side * (corridor_halfwidth + rng.uniform(-1.0, 1.0, n_per_period))
+    base = np.stack([u, y], axis=-1)                       # [P, 2]
+
+    span = v * dt * n_frames + 2 * max_range
+    k0 = int(np.floor(-max_range / period)) - 1
+    k1 = int(np.ceil(span / period)) + 1
+    reps = []
+    for k in range(k0, k1):
+        rep = base + rng.normal(0.0, jitter, base.shape)
+        rep[:, 0] += k * period
+        reps.append(rep)
+    world = np.concatenate(reps)                           # [M, 2]
+
+    pts = np.zeros((n_frames, capacity, 2), np.float32)
+    msk = np.zeros((n_frames, capacity), bool)
+    for f in range(n_frames):
+        body = world - poses[f, :2]                        # yaw = 0
+        r = np.hypot(body[:, 0], body[:, 1])
+        ok = (r > 1.5) & (r < max_range)
+        sel = np.argsort(np.where(ok, r, np.inf))[:capacity]
+        good = ok[sel]
+        n = int(good.sum())
+        pts[f, :n] = body[sel[:n]]
+        msk[f, :n] = True
+    return poses, jnp.asarray(pts), jnp.asarray(msk)
+
+
+def augment_clutter_movers(poses: np.ndarray, pts, msk,
+                           seed: SeedLike, clutter_per_frame: int = 12,
+                           n_movers: int = 3, mover_speed: float = 8.0,
+                           max_range: float = 40.0, dt: float = 0.1):
+    """Append per-frame uniform clutter + coherently moving objects to a
+    detection-cloud scene (loop-closure stress variant).
+
+    Clutter points are re-drawn independently every frame (decorrelated
+    across revisits); movers travel in straight world-frame lines and are
+    observed in each frame's body frame.  Returns (points, valid) with
+    ``clutter_per_frame + n_movers`` extra columns.
+    """
+    rng = _rng(seed)
+    F = pts.shape[0]
+    pts_np = np.asarray(pts)
+    msk_np = np.asarray(msk)
+    extra = clutter_per_frame + n_movers
+
+    m0 = rng.uniform(-max_range, max_range, (n_movers, 2)) \
+        + poses[0, :2][None, :]
+    ang = rng.uniform(0, 2 * np.pi, n_movers)
+    mv = mover_speed * np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+
+    add_p = np.zeros((F, extra, 2), np.float32)
+    add_m = np.zeros((F, extra), bool)
+    t = 0.0
+    for f in range(F):
+        c, s = np.cos(poses[f, 2]), np.sin(poses[f, 2])
+        Rw2b = np.array([[c, s], [-s, c]])
+        r_cl = np.sqrt(rng.uniform(0.04, 1.0, clutter_per_frame)) * max_range
+        a_cl = rng.uniform(-np.pi, np.pi, clutter_per_frame)
+        add_p[f, :clutter_per_frame, 0] = r_cl * np.cos(a_cl)
+        add_p[f, :clutter_per_frame, 1] = r_cl * np.sin(a_cl)
+        add_m[f, :clutter_per_frame] = True
+        world_m = m0 + mv * t
+        body_m = (world_m - poses[f, :2]) @ Rw2b.T
+        rr = np.hypot(body_m[:, 0], body_m[:, 1])
+        add_p[f, clutter_per_frame:] = body_m
+        add_m[f, clutter_per_frame:] = (rr > 1.5) & (rr < max_range)
+        t += dt
+    return (jnp.asarray(np.concatenate([pts_np, add_p], axis=1)),
+            jnp.asarray(np.concatenate([msk_np, add_m], axis=1)))

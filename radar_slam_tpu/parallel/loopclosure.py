@@ -38,6 +38,18 @@ class LoopClosureConfig:
     max_rmse: float = 0.7             # accept threshold on matched RMSE [m]
     max_candidates: int = 16          # static candidate budget
     info_scale: float = 200.0         # factor information per accepted loop
+    # Odometry-consistency gate for descriptor-retrieved loops (geometry
+    # alone cannot reject perceptual aliasing: a corridor whose wall
+    # pattern repeats every T metres yields point clouds that genuinely
+    # align, so ICP passes).  A loop is rejected when its ICP delta
+    # disagrees with the odometry-integrated relative pose by more than
+    # ``odo_gate_abs + odo_gate_frac * path_length(i..j)``: genuine drift
+    # disagrees by the accumulated error (~5-15% of the path in the
+    # calibration scenes, scripts/characterize_scancontext.py), while an
+    # aliased match claims a revisit across a full pattern period -- a
+    # ~100% disagreement.
+    odo_gate_frac: float = 0.35
+    odo_gate_abs: float = 2.0
 
 
 def _se2_apply(pose: jax.Array, pts: jax.Array) -> jax.Array:

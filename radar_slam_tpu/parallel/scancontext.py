@@ -48,10 +48,18 @@ class ScanContextConfig:
     max_range: float = 45.0      # points beyond are dropped [m]
     min_range: float = 0.5       # points inside are dropped (self-returns)
     top_m: int = 4               # stage-1 candidates kept per query frame
-    # Stage-2 acceptance: true revisits score ~0.6-0.7 (tests/test_scancontext
-    # circle scenes; exact rotations of the same cloud ~0.7-1.0), while the
-    # best coincidental corridor match observed scores ~0.45.
-    sim_threshold: float = 0.55  # stage-2 mean occupied-column cosine sim
+    # Stage-2 floor on the mean occupied-column cosine similarity.  The
+    # measured distributions (scripts/characterize_scancontext.py, 6 seeds:
+    # true revisits p5/p50/p95 = 0.33/0.47/0.66, with clutter
+    # 0.29/0.37/0.55; aliased-corridor FALSE pairs 0.66/0.87/0.94) overlap
+    # completely -- similarity is environment-dependent (structured
+    # corridors saturate every pair's score), so NO global threshold can
+    # discriminate.  This value is therefore a candidate-budget floor set
+    # at the true-revisit p5 (admit ~95% of genuine revisits to the
+    # verifier); discrimination belongs to the verification tier (ICP +
+    # odometry-consistency gate), measured at precision 1.0 / recall 1.0
+    # over the characterization suite (docs/LOOPCLOSURE.md).
+    sim_threshold: float = 0.28
     min_overlap: int = 6         # min mutually occupied sectors per shift
     min_separation: int = 20     # temporal gate [frames]
     max_candidates: int = 16     # static verification budget
@@ -278,9 +286,24 @@ def find_loop_closures_sc(points: jax.Array, valid: jax.Array,
     deltas, rmses, inliers = (deltas[take, pick], rmses[take, pick],
                               inliers[take, pick])
 
+    # Odometry-consistency gate (see LoopClosureConfig.odo_gate_frac):
+    # geometry cannot reject perceptual aliasing -- a repeated corridor's
+    # clouds genuinely align under ICP -- but odometry can: an aliased
+    # "revisit" disagrees with the integrated relative pose by a full
+    # pattern period, genuine drift only by the accumulated error.
+    if poses is not None:
+        arc = np.concatenate([[0.0], np.cumsum(np.linalg.norm(
+            np.diff(poses[:, :2], axis=0), axis=1))])
+        path_len = arc[jj] - arc[ii]
+        disagree = np.linalg.norm(deltas[:, :2] - init_pose[:, :2], axis=1)
+        odo_ok = disagree <= cfg.odo_gate_abs + cfg.odo_gate_frac * path_len
+    else:
+        odo_ok = np.ones(len(cands), bool)
+
     out = []
     for k, c in enumerate(cands):
-        if inliers[k] >= cfg.min_inliers and rmses[k] <= cfg.max_rmse:
+        if (inliers[k] >= cfg.min_inliers and rmses[k] <= cfg.max_rmse
+                and odo_ok[k]):
             out.append({"i": int(ii[k]), "j": int(jj[k]),
                         "delta": deltas[k], "rmse": float(rmses[k]),
                         "inliers": int(inliers[k]), "sim": c["sim"]})
