@@ -10,7 +10,14 @@ partitioned pose-graph BA across hosts".  Two complementary partitionings:
   pattern for independent trajectories);
 - **within a sequence** (``ba.gauss_newton_cg`` / ``ba.schur_gn_step``):
   one long trajectory's factors shard across devices with psum/all_gather
-  reduction -- used when a single sequence outgrows one device.
+  reduction -- used when a single sequence outgrows one device;
+- **composed** (:func:`solve_graphs_mesh` / :func:`process_sequences_schur`):
+  the BASELINE config-5 case -- a sequence batch whose individual graphs
+  ALSO need the distributed solver.  The pipeline phase stays sequence-
+  sharded (independent trajectories, zero collectives); the solve phase
+  re-partitions, scanning the sequences through the full-mesh
+  keyframe-block Schur solver so every graph's poses split across ALL
+  devices (loop closures enter via the Woodbury correction, ba.py).
 """
 
 from __future__ import annotations
@@ -79,3 +86,83 @@ def process_sequences_sharded(scatterers: ScattererBatch, keys: jax.Array,
                        in_specs=(P(axis_name), P(axis_name)),
                        out_specs=P(axis_name), check_vma=False)
     return fn(scatterers, keys)
+
+
+# ---------------------------------------------------------------------------
+# Config-5 composition: sequence batch x distributed Schur
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_chain", "steps",
+                                             "damping"))
+def solve_graphs_mesh(graphs: posegraph.PoseGraph, mesh: Mesh,
+                      n_chain: int | None = None, steps: int = 8,
+                      damping: float = 1e-5
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Solve a stacked batch of pose graphs [M, ...] with the FULL-MESH
+    keyframe-block Schur solver, sequences scanned through one compiled
+    program.
+
+    This is the hierarchical half of BASELINE config 5: each graph's poses
+    partition across all devices (so a single long trajectory still fits
+    and loop closures are folded in exactly via the Woodbury correction,
+    ``ba.schur_gn_step``), while the sequence axis streams through
+    ``lax.scan``.  Use when per-sequence graphs are too large -- or too
+    loop-dense -- for the per-device independent solve of
+    :func:`process_sequences_sharded`.
+
+    Args:
+        graphs: stacked PoseGraph pytree with leading sequence axis [M].
+            Pose count N must be a multiple of the mesh size; all
+            sequences share one static factor layout (``n_chain`` leading
+            chain slots, the rest loop slots, valid or not).
+
+    Returns (poses [M, N, 3], costs [M])."""
+
+    axis = mesh.axis_names[0]
+
+    def solve_one(_, g):
+        def body(_, poses):
+            return ba.schur_gn_step(g._replace(poses=poses), mesh,
+                                    axis_name=axis, damping=damping,
+                                    n_chain=n_chain)
+        poses = jax.lax.fori_loop(0, steps, body, g.poses)
+        return None, (poses, posegraph.total_cost(poses, g))
+
+    _, (poses, costs) = jax.lax.scan(solve_one, None, graphs)
+    return poses, costs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name",
+                                             "steps", "loop_capacity"))
+def process_sequences_schur(scatterers: ScattererBatch, keys: jax.Array,
+                            cfg: PipelineConfig, mesh: Mesh,
+                            axis_name: str = "s", steps: int = 8,
+                            loop_capacity: int = 1
+                            ) -> Tuple[FrameOutput, jax.Array, jax.Array]:
+    """Config-5 end to end: sequence-sharded pipeline phase, then every
+    sequence's graph through the full-mesh distributed Schur solver.
+
+    The pipeline phase is identical to :func:`process_sequences_sharded`
+    (independent sequences, zero collectives); the pose-graph phase
+    re-partitions onto the whole mesh via :func:`solve_graphs_mesh`.
+    Frame count F must satisfy (F + 1) % mesh.devices.size == 0.  Loop
+    slots are allocated empty; fill them (host-side retrieval,
+    ``parallel.slam`` / ``parallel.scancontext``) before a second
+    :func:`solve_graphs_mesh` call when closing loops.
+
+    Returns (per-frame outputs [M, F, ...], refined poses [M, F+1, 3],
+    costs [M])."""
+    dt = cfg.frame_dt
+
+    def shard_body(sc: ScattererBatch, ks):
+        return jax.vmap(lambda s, k: _pipeline_one(s, k, cfg))(sc, ks)
+
+    out = jax.shard_map(shard_body, mesh=mesh,
+                        in_specs=(P(axis_name), P(axis_name)),
+                        out_specs=P(axis_name), check_vma=False)(
+                            scatterers, keys)
+    graphs = jax.vmap(lambda o: posegraph.from_velocities(
+        o.motion.velocity, o.motion.angular_velocity[:, 2],
+        o.motion.success, dt, loop_capacity=loop_capacity))(out)
+    poses, costs = solve_graphs_mesh(graphs, mesh, steps=steps)
+    return out, poses, costs

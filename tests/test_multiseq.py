@@ -63,3 +63,75 @@ def test_multiseq_sharded(eight_devices):
             d = np.linalg.norm(np.asarray(poses)[m, -1, :2])
             expect = vels[m][0] * CFG.frame_dt * F
             assert abs(d - expect) < 1.0, (m, d, expect)
+
+
+def _loopy_graphs(M=4, n=16, drift=0.06):
+    """Stacked noisy chains [M] with one ACTIVE loop closure each."""
+    from radar_slam_tpu.parallel import posegraph
+    import jax.numpy as jnp
+
+    graphs = []
+    for m in range(M):
+        rng = np.random.default_rng(20 + m)
+        v = np.tile(np.array([5.0, 0.0, 0.0]), (n - 1, 1)).astype(np.float32)
+        wz = np.full(n - 1, 0.1, np.float32)
+        g = posegraph.from_velocities(
+            jnp.asarray(v), jnp.asarray(wz), jnp.ones(n - 1, bool), dt=0.1,
+            loop_capacity=1)
+        noisy = np.asarray(g.poses) + rng.normal(0, drift, (n, 3))
+        g = g._replace(poses=jnp.asarray(noisy.astype(np.float32)))
+        g = posegraph.add_loop_closure(
+            g, slot=0, i=1 + m, j=12 + (m % 3),
+            delta=jnp.asarray(rng.normal(0, 0.2, 3).astype(np.float32)),
+            info=jnp.array([5e3, 5e3, 5e3]))
+        graphs.append(g)
+    return jax.tree.map(lambda *xs: jax.numpy.stack(xs), *graphs), graphs
+
+
+def test_multiseq_mesh_schur_matches_single_device_gn(eight_devices):
+    """Config-5 composition (VERDICT round-2 item 7): 4 sequences with
+    ACTIVE loop closures scanned through the full-mesh distributed Schur
+    solver must match each sequence's single-device GN solution."""
+    from radar_slam_tpu.parallel import ba
+
+    batch, graphs = _loopy_graphs(M=4, n=16)
+    mesh = make_mesh(8, axis_name="f")
+    poses, costs = multiseq.solve_graphs_mesh(batch, mesh, steps=10)
+
+    for m, g in enumerate(graphs):
+        ref, c_ref = ba.gauss_newton_cg(g, mesh=None, gn_iters=10,
+                                        cg_iters=60)
+        np.testing.assert_allclose(np.asarray(poses)[m], np.asarray(ref),
+                                   atol=5e-3)
+        assert float(costs[m]) <= 1.05 * float(c_ref) + 1e-6
+
+
+def test_multiseq_schur_end_to_end(eight_devices):
+    """Pipeline phase sequence-sharded, solve phase through the full-mesh
+    Schur solver, in one jitted program; endpoints track commanded motion."""
+    M, F = 8, 7                     # F + 1 = 8 poses = mesh size
+    vels = [(3.0 + 0.4 * m, 0.0) for m in range(M)]
+    seqs = []
+    for m in range(M):
+        b, _ = constant_motion_scene(
+            100 + m, num_frames=F, dt=CFG.frame_dt, v_body=vels[m],
+            yaw_rate=0.0,
+            scene=SceneConfig(num_points=48, max_range=18.0, min_range=3.0,
+                              max_scatterers=CFG.max_scatterers))
+        seqs.append(b)
+    batch = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *seqs)
+    keys = jax.random.split(jax.random.key(0), M)
+
+    mesh = make_mesh(8, axis_name="s")
+    out, poses, costs = multiseq.process_sequences_schur(
+        batch, keys, CFG, mesh)
+    assert poses.shape == (M, F + 1, 3)
+    ok = np.asarray(out.motion.success)
+    good = 0
+    for m in range(M):
+        if ok[m, 1:].mean() > 0.5:
+            d = np.linalg.norm(np.asarray(poses)[m, -1, :2])
+            expect = vels[m][0] * CFG.frame_dt * F
+            if abs(d - expect) < 1.0:
+                good += 1
+    assert good >= 6, good
