@@ -170,7 +170,14 @@ def cmd_analyze(args) -> int:
         batches, gt = _synthetic_scene(cfg, args.max_frames or 10)
         gt_poses = np.asarray(gt["poses"])
         gt_vels = None
-    an = StreamingAnalyzer(cfg, gt_fallback=args.gt_fallback)
+    an = StreamingAnalyzer(cfg, gt_fallback=args.gt_fallback,
+                           checkpoint_dir=getattr(args, "checkpoint_dir",
+                                                  None),
+                           checkpoint_every=getattr(args, "checkpoint_every",
+                                                    10))
+    if getattr(args, "resume", False) and an.checkpoint_dir:
+        if an.restore_latest():
+            print(f"resumed from checkpoint at frame {an.frame_idx}")
     metrics = an.analyze_sequence(batches, gt_poses=gt_poses,
                                   gt_velocities=gt_vels)
     if args.slam:
@@ -565,6 +572,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="loop-closure candidate proposer: revisit gate on "
                          "estimated poses, or drift-independent scan-"
                          "context descriptor retrieval")
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="persist streaming state every N frames for crash "
+                         "recovery (utils/checkpointing.py)")
+    sp.add_argument("--checkpoint-every", type=int, default=10)
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in "
+                         "--checkpoint-dir")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("quick-compare",

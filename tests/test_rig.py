@@ -155,3 +155,18 @@ def test_colocated_rig_matches_single_sensor_step():
         np.testing.assert_allclose(
             np.asarray(out1.motion.velocity),
             np.asarray(out2.motion.velocity), rtol=1e-3, atol=1e-3)
+
+
+def test_rig_fused_detection_matches_fft(rig_scene):
+    """The per-sensor fused detection branch (rig.py per_sensor, fft_mode
+    "fused") must reproduce the FFT-cube trajectory within float
+    reassociation."""
+    batches, _ = rig_scene
+    cfg_fused = dataclasses.replace(CFG, fft_mode="fused")
+    out_fft = rigmod.process_sequence_rig(batches, jax.random.key(0), CFG,
+                                          RIG)
+    out_fus = rigmod.process_sequence_rig(batches, jax.random.key(0),
+                                          cfg_fused, RIG)
+    np.testing.assert_allclose(np.asarray(out_fus.pose),
+                               np.asarray(out_fft.pose),
+                               rtol=1e-3, atol=5e-3)
