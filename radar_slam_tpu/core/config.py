@@ -315,6 +315,14 @@ class PipelineConfig:
     # ~0.013 dB power-map error, inside every CFAR margin; signatures always
     # recompute at f32).
     power_precision: str = "default"
+    # Cube-free synthetic front end (fft_mode="fused" + scatterer input
+    # only): synthesize the ADC cube INSIDE the power/signature kernels
+    # (ops/synthpower_pallas.py) so it never touches HBM -- the synthesis
+    # factors are rank-1 separable and cheaper to recreate on the MXU than
+    # to move.  Same physics; AWGN comes from the in-kernel Mosaic PRNG
+    # (same statistics as jax.random.normal, different bits).  Requires a
+    # real TPU backend; other backends fall back to the materialized path.
+    synth_in_kernel: bool = False
     # Synthesis model used when the pipeline starts from scatterers:
     # "tpu" (physics-fixed, signal/synth.py module docstring) or "reference"
     # (reproduces the reference simulator's quirks -- no slow-time Doppler

@@ -53,30 +53,38 @@ _MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
 
 
 def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref, wdtr_ref, wdti_ref,
-            out_ref, *, A: int, C: int, precision_name: str):
+            out_ref, *, A: int, C: int, precision_name: str,
+            doppler_precision: str):
     mm = _MMS[precision_name]
+    mm_dop = _MMS[doppler_precision]
 
     xr = xr_ref[0]                                   # [A*C, S]
     xi = xi_ref[0]
     zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], mm)    # range DFT chain
 
+    # Doppler DFT precision is independent of the range stage: the Mosaic
+    # "highest" (6-pass) dots made this loop ~3/4 of kernel time; "high"
+    # (manual bf16x3) is f32-accurate at half that, "default" (bf16) is
+    # fastest with ~1 dB wobble on cells 30-60 dB below peak.  Power
+    # accumulation is always f32 (dots emit f32).
     wdtr, wdti = wdtr_ref[:], wdti_ref[:]            # [D, C] (= W_dop^T)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [D, S]
     for a in range(A):
         zar = zr[a * C:(a + 1) * C, :]               # [C, S]
         zai = zi[a * C:(a + 1) * C, :]
-        o_r, o_i = _cmm(wdtr, wdti, zar, zai, _mm_f32)   # Doppler DFT
+        o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)    # Doppler DFT
         acc = acc + (o_r * o_r + o_i * o_i)
     out_ref[0] = acc * jnp.float32(1.0 / A)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dc_removal", "doppler_window",
-                                    "precision_name"))
+                                    "precision_name", "doppler_precision"))
 def rds_power_fused(signals: jax.Array, mix: jax.Array,
                     dc_removal: bool = True,
                     doppler_window: Optional[str] = None,
-                    precision_name: str = "default") -> jax.Array:
+                    precision_name: str = "default",
+                    doppler_precision: str = "high") -> jax.Array:
     """Fused power map from baseband/raw ADC cubes.
 
     Args:
@@ -85,7 +93,10 @@ def rds_power_fused(signals: jax.Array, mix: jax.Array,
         mix: complex64 [S] dechirp x fast-time-window vector.
         precision_name: range-DFT matmul precision -- "default" (bf16,
             fastest), "high" (bf16x3, f32-accurate), "highest" (f32).
-            The Doppler stage and power accumulation always run f32.
+        doppler_precision: Doppler-DFT matmul precision, same choices;
+            "high" keeps the power map f32-accurate at half the cost of
+            the Mosaic 6-pass "highest" path.  Power accumulation is
+            always f32.
 
     Returns:
         float32 [..., S, C] power map ``mean_a |rds|^2`` in the detection
@@ -118,7 +129,8 @@ def rds_power_fused(signals: jax.Array, mix: jax.Array,
                             memory_space=pltpu.VMEM)
 
     power_ds = pl.pallas_call(
-        functools.partial(_kernel, A=A, C=C, precision_name=precision_name),
+        functools.partial(_kernel, A=A, C=C, precision_name=precision_name,
+                          doppler_precision=doppler_precision),
         grid=(F,),
         in_specs=[frame_spec, frame_spec, wr_spec, wr_spec, wd_spec, wd_spec],
         out_specs=out_spec,

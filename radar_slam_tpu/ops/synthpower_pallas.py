@@ -1,0 +1,298 @@
+"""Pallas TPU kernels: scatterers -> power map / signatures, NO ADC cube.
+
+The synthetic-capture pipeline (BASELINE config 2: point clouds -> raw
+FMCW -> detection -> AoA -> motion) spent its largest memory term writing
+and re-reading the [A, C, S] complex cube: 6.5 MB per frame out of the
+synthesis matmul, read back by the power kernel and again by the
+signature gather -- ~420 MB of HBM traffic per 64-frame batch
+(scripts/roofline.py: synthesis 443 MB moved, 44% of SoL).
+
+The synthesis signal model is rank-1 separable
+(``signal/synth.py:synthesis_factors``):
+
+    signals = e_ac^T @ e_fast + sigma * (N_re + j N_im),
+    e_ac [Sc, A*C], e_fast [Sc, S],  Sc ~ 128 scatterers
+
+so the cube is cheaper to RECREATE on the MXU (78 MFLOP/frame) than to
+move.  Two kernels consume the factors directly; the cube never exists in
+HBM:
+
+- :func:`synth_power_fused`: synthesis matmul + in-kernel AWGN (Mosaic
+  PRNG, Box-Muller) + window x DC x range DFT x Doppler DFT x |.|^2 x
+  antenna mean -> [R, D] float32 power map (51 KB/frame written).
+- :func:`synth_signatures_fused`: for the K detected cells, re-synthesize
+  (REGENERATING the identical noise stream from the same per-frame seed)
+  and contract with the K DFT columns -> [K, A] signatures.  The noise
+  lands in the signatures exactly as physics demands -- recomputing them
+  noiselessly would quietly hand AoA cleaner data than detection saw.
+
+Replaces the reference chain ``scripts/simulate_raw.py:171-209`` (cube
+synthesis) + ``src/radar_signal/dechirp.py:168-244`` (RDS + power) for
+the synthetic path.  Noise is N(0, sigma^2) per plane as in
+``simulate_raw.py:216-219``; the realization differs bitwise from the
+XLA path's ``jax.random.normal`` (different PRNG), which matters to no
+test of physics -- equivalence is asserted at sigma=0 and statistically
+with noise (``tests/test_synthpower.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radar_slam_tpu.ops.rds_pallas import _cmm, _mm_bf16x3, _mm_f32
+from radar_slam_tpu.ops.power_pallas import _mm_bf16
+
+_MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
+
+_TWO_PI = 6.283185307179586
+
+
+def _standard_normals(shape):
+    """Two standard-normal planes from the seeded Mosaic PRNG stream via
+    Box-Muller.  Call order defines the stream: both kernels must draw the
+    SAME shapes in the SAME order to reproduce one noise realization."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    # 24 high bits -> (0, 1) uniforms, offset to avoid log(0).
+    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
+
+
+def _synth_xy(eatr, eati, efr, efi, seed, sigma, mm):
+    """In-kernel cube synthesis: [A*C, Sc] @ [Sc, S] + AWGN -> (xr, xi)."""
+    xr, xi = _cmm(eatr, eati, efr, efi, mm)
+    pltpu.prng_seed(seed)
+    n_re, n_im = _standard_normals(xr.shape)
+    return xr + sigma * n_re, xi + sigma * n_im
+
+
+def _noise_kernel(seed_ref, outr_ref, outi_ref):
+    pltpu.prng_seed(seed_ref[0])
+    n_re, n_im = _standard_normals(outr_ref.shape[1:])
+    outr_ref[0] = n_re
+    outi_ref[0] = n_im
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def noise_cube(seeds: jax.Array, rows: int, cols: int) -> jax.Array:
+    """The exact AWGN realization [F, rows, cols] both kernels draw for
+    these seeds (validation surface: lets tests materialize the noise and
+    check power/signature consistency against explicit cube math)."""
+    F = seeds.shape[0]
+    fr = pl.BlockSpec((1, rows, cols), lambda f: (f, 0, 0),
+                      memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        _noise_kernel,
+        grid=(F,),
+        in_specs=[pl.BlockSpec((1,), lambda f: (f,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(fr, fr),
+        out_shape=(jax.ShapeDtypeStruct((F, rows, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((F, rows, cols), jnp.float32)),
+    )(seeds.astype(jnp.int32))
+    return outr + 1j * outi
+
+
+def _power_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
+                  wrr_ref, wri_ref, wdtr_ref, wdti_ref, out_ref,
+                  *, A: int, C: int, sigma: float, synth_precision: str,
+                  precision_name: str, doppler_precision: str):
+    xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
+                       seed_ref[0], sigma, _MMS[synth_precision])
+
+    mm = _MMS[precision_name]
+    zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], mm)        # range DFT
+
+    mm_dop = _MMS[doppler_precision]
+    wdtr, wdti = wdtr_ref[:], wdti_ref[:]                    # [D, C]
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)          # [D, S]
+    for a in range(A):
+        zar = zr[a * C:(a + 1) * C, :]
+        zai = zi[a * C:(a + 1) * C, :]
+        o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)        # Doppler DFT
+        acc = acc + (o_r * o_r + o_i * o_i)
+    out_ref[0] = acc * jnp.float32(1.0 / A)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "sigma", "dc_removal",
+                                    "doppler_window", "synth_precision",
+                                    "precision_name", "doppler_precision"))
+def scatterer_power(e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
+                    mix: jax.Array, C: int, sigma: float,
+                    dc_removal: bool = True,
+                    doppler_window: Optional[str] = None,
+                    synth_precision: str = "high",
+                    precision_name: str = "default",
+                    doppler_precision: str = "high") -> jax.Array:
+    """Power map straight from synthesis factors; the cube never exists.
+
+    Args:
+        e_ac / e_fast: [F, Sc, A*C] / [F, Sc, S] complex64 factors
+            (``signal/synth.py:synthesis_factors``, vmapped).
+        seeds: [F] int32 per-frame noise seeds (shared with
+            :func:`scatterer_signatures` for one noise realization).
+        mix: [S] complex64 window vector (baseband input domain).
+        C: chirp count (the factor layout is [a*C + c]).
+        sigma: per-plane AWGN std = sqrt(noise_power).
+
+    Returns float32 [F, S, C] power map (detection layout [range, Doppler]).
+    """
+    from radar_slam_tpu.signal.rds import doppler_dft_matrix, range_dft_matrix
+
+    F, Sc, AC = e_ac.shape
+    S = e_fast.shape[-1]
+    A = AC // C
+
+    # e_ac^T per frame: [F, A*C, Sc] (host-free transpose inside jit).
+    eat = jnp.swapaxes(e_ac, -1, -2)
+    eatr, eati = jnp.real(eat), jnp.imag(eat)
+    efr, efi = jnp.real(e_fast), jnp.imag(e_fast)
+
+    w_rng = range_dft_matrix(S, mix, dc_removal)
+    wrr = w_rng.real.astype(jnp.float32)
+    wri = w_rng.imag.astype(jnp.float32)
+    w_dop_t = doppler_dft_matrix(C, doppler_window).T
+    wdtr = w_dop_t.real.astype(jnp.float32)
+    wdti = w_dop_t.imag.astype(jnp.float32)
+
+    fr = lambda shape: pl.BlockSpec((1,) + shape, lambda f: (f,) + (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda f: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1,), lambda f: (f,), memory_space=pltpu.SMEM)
+
+    power_ds = pl.pallas_call(
+        functools.partial(_power_kernel, A=A, C=C, sigma=sigma,
+                          synth_precision=synth_precision,
+                          precision_name=precision_name,
+                          doppler_precision=doppler_precision),
+        grid=(F,),
+        in_specs=[seed_spec, fr((AC, Sc)), fr((AC, Sc)), fr((Sc, S)),
+                  fr((Sc, S)), const((S, S)), const((S, S)),
+                  const((C, C)), const((C, C))],
+        out_specs=fr((C, S)),
+        out_shape=jax.ShapeDtypeStruct((F, C, S), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=F * (6 * AC * Sc * S      # synthesis matmul
+                       + 6 * AC * S * S     # range DFT
+                       + 6 * AC * S * C     # Doppler DFT
+                       + 4 * AC * S),       # power + mean
+            bytes_accessed=F * (2 * AC * Sc * 4 + 2 * Sc * S * 4 + C * S * 4),
+            transcendentals=F * 4 * AC * S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seeds.astype(jnp.int32), eatr, eati, efr, efi, wrr, wri, wdtr, wdti)
+
+    return jnp.swapaxes(power_ds, -1, -2)                  # [F, S, C]
+
+
+def _sig_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
+                wrcr_ref, wrci_ref, wdcr_ref, wdci_ref,
+                outr_ref, outi_ref,
+                *, A: int, C: int, sigma: float, synth_precision: str,
+                sig_precision: str):
+    xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
+                       seed_ref[0], sigma, _MMS[synth_precision])
+
+    # Contract with the K detected cells' range-DFT columns (f32-accurate
+    # by default: signatures feed subspace AoA).
+    g_r, g_i = _cmm(xr, xi, wrcr_ref[0], wrci_ref[0],
+                    _MMS[sig_precision])                   # [A*C, K]
+
+    # Doppler column weighting + chirp reduction: sig[k, a] =
+    # sum_c g[a*C + c, k] * wd[c, k].
+    wdr, wdi = wdcr_ref[0], wdci_ref[0]                    # [C, K]
+    for a in range(A):
+        ga_r = g_r[a * C:(a + 1) * C, :]                   # [C, K]
+        ga_i = g_i[a * C:(a + 1) * C, :]
+        s_r = jnp.sum(ga_r * wdr - ga_i * wdi, axis=0)     # [K]
+        s_i = jnp.sum(ga_r * wdi + ga_i * wdr, axis=0)
+        outr_ref[0, a] = s_r
+        outi_ref[0, a] = s_i
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "sigma", "dc_removal",
+                                    "doppler_window", "synth_precision",
+                                    "sig_precision"))
+def scatterer_signatures(e_ac: jax.Array, e_fast: jax.Array,
+                         seeds: jax.Array, range_bin: jax.Array,
+                         doppler_bin: jax.Array, mix: jax.Array, C: int,
+                         sigma: float, dc_removal: bool = True,
+                         doppler_window: Optional[str] = None,
+                         synth_precision: str = "high",
+                         sig_precision: str = "high") -> jax.Array:
+    """Unit-power spatial signatures [F, K, A] for detected cells, straight
+    from the synthesis factors with the SAME noise realization as
+    :func:`scatterer_power` (same seeds -> same Mosaic PRNG stream).
+
+    Column construction matches ``signal/rds.py:detection_signatures``
+    (cited there against the reference's angle_estimation.py:83-90)."""
+    from radar_slam_tpu.signal.rds import get_window
+
+    F, Sc, AC = e_ac.shape
+    S = e_fast.shape[-1]
+    A = AC // C
+    K = range_bin.shape[-1]
+
+    eat = jnp.swapaxes(e_ac, -1, -2)
+    eatr, eati = jnp.real(eat), jnp.imag(eat)
+    efr, efi = jnp.real(e_fast), jnp.imag(e_fast)
+
+    # Range-DFT columns for the detected bins (detection_signatures math).
+    s_idx = jnp.arange(S, dtype=jnp.float32)
+    rb = range_bin.astype(jnp.float32)                     # [F, K]
+    w_rng = jnp.exp(1j * (2.0 * jnp.pi / S)
+                    * s_idx[None, :, None] * rb[:, None, :])   # [F, S, K]
+    if dc_removal:
+        w_rng = w_rng - (range_bin[:, None, :] == 0)
+    w_rng = (mix[None, :, None] * w_rng).astype(jnp.complex64)
+
+    c_idx = jnp.arange(C, dtype=jnp.float32)
+    f_shift = jnp.mod(doppler_bin - C // 2, C).astype(jnp.float32)
+    w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C)
+                    * c_idx[None, :, None] * f_shift[:, None, :])  # [F, C, K]
+    if doppler_window is not None:
+        wd = get_window(doppler_window, C).astype(jnp.float32)
+        w_dop = wd[None, :, None] * w_dop
+    w_dop = w_dop.astype(jnp.complex64)
+
+    fr = lambda shape: pl.BlockSpec((1,) + shape, lambda f: (f,) + (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1,), lambda f: (f,), memory_space=pltpu.SMEM)
+
+    outr, outi = pl.pallas_call(
+        functools.partial(_sig_kernel, A=A, C=C, sigma=sigma,
+                          synth_precision=synth_precision,
+                          sig_precision=sig_precision),
+        grid=(F,),
+        in_specs=[seed_spec, fr((AC, Sc)), fr((AC, Sc)), fr((Sc, S)),
+                  fr((Sc, S)), fr((S, K)), fr((S, K)), fr((C, K)),
+                  fr((C, K))],
+        out_specs=(fr((A, K)), fr((A, K))),
+        out_shape=(jax.ShapeDtypeStruct((F, A, K), jnp.float32),
+                   jax.ShapeDtypeStruct((F, A, K), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=F * (6 * AC * Sc * S + 6 * AC * S * K + 8 * AC * K),
+            bytes_accessed=F * (2 * AC * Sc * 4 + 2 * Sc * S * 4
+                                + 2 * (S + C) * K * 4 + 2 * A * K * 4),
+            transcendentals=F * 4 * AC * S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seeds.astype(jnp.int32), eatr, eati, efr, efi,
+      jnp.real(w_rng), jnp.imag(w_rng), jnp.real(w_dop), jnp.imag(w_dop))
+
+    sig = (outr + 1j * outi).astype(jnp.complex64)         # [F, A, K]
+    sig = jnp.swapaxes(sig, -1, -2)                        # [F, K, A]
+    power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
+    return jnp.where(power > 0,
+                     sig / jnp.sqrt(jnp.maximum(power, 1e-30)), sig)

@@ -275,6 +275,15 @@ def frame_features(signals: jax.Array, cfg: PipelineConfig):
         det = detect_peaks(rds, cfg.radar, cfg.detection,
                            use_pallas=cfg.use_pallas)
         sigs = extract_spatial_signatures(rds, det)
+    return _aoa_features(det, sigs, cfg)
+
+
+def _aoa_features(det, sigs, cfg: PipelineConfig):
+    """The AoA tail of :func:`frame_features` for one frame: MDL model
+    order, angles, confidence from detections + signatures."""
+    from radar_slam_tpu.aoa import confidence as conf_mod
+    from radar_slam_tpu.aoa import estimators
+
     K = det.range_bin.shape[0]
     keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
             & (jnp.arange(K) < cfg.aoa.max_targets))
@@ -286,6 +295,44 @@ def frame_features(signals: jax.Array, cfg: PipelineConfig):
         num_sources=num_sources)
     conf = conf_mod.angle_confidence(sigs, angles_deg, cfg.radar, el_deg)
     return det, sigs, keep, num_sources, is_multi, angles_deg, el_deg, conf
+
+
+def sequence_features_scatterers_fused(scatterers: ScattererBatch,
+                                       key: jax.Array, cfg: PipelineConfig):
+    """Phase A for a scatterer sequence with the CUBE-FREE front end: the
+    ADC cube is synthesized inside the power / signature kernels
+    (``ops/synthpower_pallas.py``) and never written to HBM.
+
+    Semantics match the vmapped synthesize+``frame_features`` phase A up
+    to (a) the AWGN realization (in-kernel Mosaic PRNG vs
+    ``jax.random.normal`` -- same statistics, different bits) and (b) f32
+    rounding of the ~25k-cycle carrier phase (see
+    ``tests/test_synthpower.py``).  Requires ``chirp_subset=None``."""
+    from radar_slam_tpu.ops import synthpower_pallas as sp
+    from radar_slam_tpu.signal.rds import _mix_vector
+    from radar_slam_tpu.signal.synth import synthesis_factors
+
+    if cfg.chirp_subset is not None:
+        raise ValueError("synth_in_kernel requires chirp_subset=None")
+    F = scatterers.range_m.shape[0]
+    C = cfg.radar.num_chirps
+    S = cfg.radar.samples_per_chirp
+    sigma = float(cfg.radar.noise_power) ** 0.5
+    seeds = jax.random.bits(key, (F,), jnp.uint32).astype(jnp.int32)
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+
+    e_ac, e_fast = jax.vmap(
+        lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
+    )(scatterers)
+    p_lin = sp.scatterer_power(e_ac, e_fast, seeds, mix, C, sigma,
+                               doppler_window=cfg.doppler_window,
+                               precision_name=cfg.power_precision)
+    det = jax.vmap(lambda p: detect_peaks_from_power(
+        p, cfg.radar, cfg.detection))(p_lin)
+    sigs = sp.scatterer_signatures(e_ac, e_fast, seeds, det.range_bin,
+                                   det.doppler_bin, mix, C, sigma,
+                                   doppler_window=cfg.doppler_window)
+    return jax.vmap(lambda d, s: _aoa_features(d, s, cfg))(det, sigs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"))
@@ -307,11 +354,19 @@ def process_sequence_batched(scatterers: ScattererBatch, key: jax.Array,
     keys = jax.random.split(key, F)
 
     # ---- phase A: batched per-frame heavy compute -------------------------
-    def heavy(sc, k):
-        sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
-        return frame_features(sig, cfg)
+    if (cfg.fft_mode == "fused" and cfg.synth_in_kernel
+            and cfg.chirp_subset is None
+            and jax.default_backend() in ("tpu", "axon")):
+        # Cube-free front end: the ADC cube is synthesized inside the
+        # power/signature kernels and never touches HBM.
+        features = sequence_features_scatterers_fused(scatterers, key, cfg)
+    else:
+        def heavy(sc, k):
+            sig = synthesize_frame(sc, cfg.radar, k,
+                                   fidelity=cfg.synth_fidelity)
+            return frame_features(sig, cfg)
 
-    features = jax.vmap(heavy)(scatterers, keys)
+        features = jax.vmap(heavy)(scatterers, keys)
     return _sequence_from_features(features, cfg, rotate_pose)
 
 

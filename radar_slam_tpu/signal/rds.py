@@ -134,7 +134,7 @@ def _mix_vector(cfg: RadarConfig, window: str, input_domain: str,
     jax.jit,
     static_argnames=("cfg", "window", "dc_removal", "input_domain",
                      "chirp_subset", "doppler_window", "mode",
-                     "dft_precision"))
+                     "dft_precision", "doppler_precision"))
 def rds_power(signals: jax.Array,
               cfg: RadarConfig,
               window: str = "hann",
@@ -143,7 +143,8 @@ def rds_power(signals: jax.Array,
               chirp_subset: Optional[Tuple[int, int]] = None,
               doppler_window: Optional[str] = None,
               mode: str = "auto",
-              dft_precision: str = "default") -> jax.Array:
+              dft_precision: str = "default",
+              doppler_precision: str = "highest") -> jax.Array:
     """Non-coherent power map ``mean_a |rds|^2`` WITHOUT materializing the
     complex RDS cube (the fused detection path; VERDICT round-2 item 1).
 
@@ -154,6 +155,11 @@ def rds_power(signals: jax.Array,
     XLA FFT path + power (numerically identical to the default
     ``range_doppler_spectrum`` chain); "auto" -- pallas on TPU backends,
     xla elsewhere (the CPU test mesh cannot run compiled Mosaic kernels).
+
+    doppler_precision defaults to "highest" here (the full-pipeline
+    configuration proven on chip at 12.8k fps); the kernel's faster
+    "high"/"default" Doppler variants are measured isolated
+    (docs/BENCHMARKS.md) but pending a full-pipeline chip validation.
     """
     if chirp_subset is not None:
         signals = signals[..., chirp_subset[0]:chirp_subset[1], :]
@@ -164,7 +170,8 @@ def rds_power(signals: jax.Array,
         from radar_slam_tpu.ops.power_pallas import rds_power_fused
         mix = _mix_vector(cfg, window, input_domain, signals.shape[-1])
         return rds_power_fused(signals, mix, dc_removal, doppler_window,
-                               precision_name=dft_precision)
+                               precision_name=dft_precision,
+                               doppler_precision=doppler_precision)
     if mode != "xla":
         raise ValueError(f"Unknown rds_power mode: {mode}")
     rds = range_doppler_spectrum(signals, cfg, window=window,

@@ -1,0 +1,193 @@
+"""Cube-free synthetic front end (ops/synthpower_pallas.py): scatterers ->
+power map / signatures with the ADC cube never materialized.
+
+Equivalence methodology: the synthesis carrier term is ~25,600 cycles, so
+its f32 fractional part quantizes at ~2e-3 cycles and DIFFERENT jit
+programs may legally round it differently (each is a valid realization of
+the same physics).  Hence every test below reconstructs the reference
+cube from the SAME factor arrays fed to the kernels — then power must
+match to f32 tolerance, the in-kernel noise stream must be reproducible
+across both kernels (via ``noise_cube``), and signatures must match the
+cube gather.  End-to-end accuracy is asserted against ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from radar_slam_tpu.core.config import complete_analysis_config
+from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+from radar_slam_tpu.ops import synthpower_pallas as sp
+from radar_slam_tpu.signal.detect import detect_peaks_from_power
+from radar_slam_tpu.signal.rds import (_mix_vector, detection_signatures,
+                                       rds_power)
+from radar_slam_tpu.signal.synth import synthesis_factors
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
+    batches, _ = constant_motion_scene(
+        3, num_frames=2, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
+        scene=SceneConfig(num_points=64, max_scatterers=cfg.max_scatterers))
+    e_ac, e_fast = jax.jit(jax.vmap(
+        lambda s: synthesis_factors(s, cfg.radar)))(batches)
+    C = cfg.radar.num_chirps
+    A = cfg.radar.total_antennas
+    S = e_fast.shape[-1]
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+    seeds = jnp.arange(2, dtype=jnp.int32) + 17
+    sigma = float(np.sqrt(cfg.radar.noise_power))
+    # Reference cube from the SAME factors + the SAME kernel noise stream.
+    with pltpu.force_tpu_interpret_mode():
+        nz = sp.noise_cube(seeds, A * C, S)
+    synth = jax.jit(lambda a, f: jnp.einsum(
+        "bxp,bxs->bps", a, f,
+        precision=jax.lax.Precision.HIGHEST))(e_ac, e_fast)
+    signals = (synth + sigma * nz).reshape(2, A, C, S)
+    return cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S
+
+
+def test_power_matches_explicit_cube(setup):
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
+    want = np.asarray(rds_power(signals, cfg.radar, window=cfg.window,
+                                doppler_window=cfg.doppler_window,
+                                mode="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, sigma,
+            doppler_window=cfg.doppler_window, synth_precision="highest",
+            precision_name="highest", doppler_precision="highest"))
+    assert np.abs(got - want).max() / want.max() < 1e-4
+
+
+def test_power_bf16_inside_cfar_margin(setup):
+    """Production precisions (bf16 range DFT, bf16x3 Doppler): power-map
+    dB error far inside the 12 dB CFAR offset on detectable cells."""
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
+    want = np.asarray(rds_power(signals, cfg.radar, window=cfg.window,
+                                doppler_window=cfg.doppler_window,
+                                mode="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, sigma,
+            doppler_window=cfg.doppler_window))
+    db = np.abs(10 * np.log10(got + 1e-12) - 10 * np.log10(want + 1e-12))
+    strong = want > 1e-3 * want.max()
+    assert db[strong].max() < 0.1, db[strong].max()
+    # Cells near the noise floor see bf16 leakage from strong rows (~1.6 dB
+    # observed); what matters is that CFAR DECISIONS are unchanged.
+    det_w = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+        x, cfg.radar, cfg.detection)))(jnp.asarray(want))
+    det_g = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+        x, cfg.radar, cfg.detection)))(jnp.asarray(got))
+    assert np.array_equal(np.asarray(det_w.valid), np.asarray(det_g.valid))
+    v = np.asarray(det_w.valid)
+    assert np.array_equal(np.asarray(det_w.range_bin)[v],
+                          np.asarray(det_g.range_bin)[v])
+    assert np.array_equal(np.asarray(det_w.doppler_bin)[v],
+                          np.asarray(det_g.doppler_bin)[v])
+
+
+def test_signatures_match_explicit_cube(setup):
+    """Same seeds -> same noise stream: kernel signatures equal the cube
+    gather from the explicitly reconstructed noisy cube."""
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
+    p = rds_power(signals, cfg.radar, window=cfg.window,
+                  doppler_window=cfg.doppler_window, mode="xla")
+    det = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+        x, cfg.radar, cfg.detection)))(p)
+    want = np.asarray(jax.vmap(
+        lambda s, r, d: detection_signatures(
+            s, r, d, cfg.radar, window=cfg.window,
+            doppler_window=cfg.doppler_window))(
+                signals, det.range_bin, det.doppler_bin))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sp.scatterer_signatures(
+            e_ac, e_fast, seeds, det.range_bin, det.doppler_bin, mix, C,
+            sigma, doppler_window=cfg.doppler_window,
+            synth_precision="highest", sig_precision="highest"))
+    v = np.asarray(det.valid)
+    assert np.abs(got - want)[v].max() < 2e-4
+
+
+def test_noise_stream_is_reproducible(setup):
+    """noise_cube twice with the same seeds -> identical realization.
+
+    Interpret mode's Mosaic PRNG is DEGENERATE (prng_random_bits returns
+    constant bits and prng_seed is ignored), so on CPU this only pins
+    determinism and the power/signature consistency tests above exercise
+    the noise plumbing with a constant plane; seed variation and
+    distribution statistics are asserted on the real chip below."""
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
+    with pltpu.force_tpu_interpret_mode():
+        n1 = np.asarray(sp.noise_cube(seeds, A * C, S))
+        n2 = np.asarray(sp.noise_cube(seeds, A * C, S))
+    np.testing.assert_array_equal(n1, n2)
+    assert np.isfinite(n1.view(np.float32)).all()
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu", "axon"),
+                    reason="compiled Mosaic PRNG seeding needs a real TPU "
+                           "(interpret mode ignores prng_seed)")
+def test_noise_seeding_on_tpu(setup):
+    """Real-TPU seeding semantics: per-frame seeds give distinct noise,
+    same seed reproduces, and the power/signature kernels share one
+    realization (power from explicit cube == fused power)."""
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals_unused, C, A, S = setup
+    n = np.asarray(sp.noise_cube(jnp.array([17, 18], jnp.int32), A * C, S))
+    m = np.asarray(sp.noise_cube(jnp.array([17, 999], jnp.int32), A * C, S))
+    assert np.abs(n[0] - n[1]).max() > 0.1          # different seeds differ
+    np.testing.assert_array_equal(n[0], m[0])       # same seed reproduces
+    assert np.abs(n[1] - m[1]).max() > 0.1
+    flat = np.concatenate([n[0].real.ravel(), n[0].imag.ravel()])
+    assert abs(flat.mean()) < 0.02
+    assert abs(flat.std() - 1.0) < 0.02
+    assert (np.abs(flat) > 4.0).any()               # unclipped tails
+    assert np.abs(flat).max() < 8.0
+
+    # Cross-kernel consistency with the REAL stream: reconstruct the cube
+    # from the same factors + real noise, compare the fused power map.
+    synth = jax.jit(lambda a, f: jnp.einsum(
+        "bxp,bxs->bps", a, f,
+        precision=jax.lax.Precision.HIGHEST))(e_ac, e_fast)
+    nz = sp.noise_cube(seeds, A * C, S)
+    signals = (synth + sigma * nz).reshape(2, A, C, S)
+    want = np.asarray(rds_power(signals, cfg.radar, window=cfg.window,
+                                doppler_window=cfg.doppler_window,
+                                mode="xla"))
+    got = np.asarray(sp.scatterer_power(
+        e_ac, e_fast, seeds, mix, C, sigma,
+        doppler_window=cfg.doppler_window, synth_precision="highest",
+        precision_name="highest", doppler_precision="highest"))
+    assert np.abs(got - want).max() / want.max() < 1e-4
+
+
+def test_driver_phase_a_cube_free_matches_standard():
+    """The cube-free phase A feeding the standard phase B reproduces the
+    materialized driver's trajectory (noise off: interpret-mode PRNG is
+    degenerate; tolerance covers the f32 carrier-rounding realization
+    difference between jit programs)."""
+    from radar_slam_tpu.io.synthetic import constant_motion_scene
+    from radar_slam_tpu.pipeline import frame as pipe
+
+    cfg = dataclasses.replace(
+        complete_analysis_config(), max_scatterers=128, fft_mode="fused",
+        radar=dataclasses.replace(complete_analysis_config().radar,
+                                  noise_power=0.0))
+    batches, gt = constant_motion_scene(
+        5, num_frames=8, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
+        scene=SceneConfig(num_points=64, max_scatterers=cfg.max_scatterers))
+    key = jax.random.key(0)
+    want = pipe.process_sequence_batched(batches, key, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        features = pipe.sequence_features_scatterers_fused(batches, key, cfg)
+        got = pipe._sequence_from_features(features, cfg, True)
+    np.testing.assert_allclose(np.asarray(got.pose), np.asarray(want.pose),
+                               rtol=1e-3, atol=2e-2)
+    err = np.linalg.norm(np.asarray(got.pose)[-1, :2]
+                         - np.asarray(gt["poses"])[-1, :2])
+    assert err < 0.5, err
