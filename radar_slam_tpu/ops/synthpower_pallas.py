@@ -75,7 +75,7 @@ def _synth_xy(eatr, eati, efr, efi, seed, sigma, mm):
 
 
 def _noise_kernel(seed_ref, outr_ref, outi_ref):
-    pltpu.prng_seed(seed_ref[0])
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
     n_re, n_im = _standard_normals(outr_ref.shape[1:])
     outr_ref[0] = n_re
     outi_ref[0] = n_im
@@ -92,8 +92,7 @@ def noise_cube(seeds: jax.Array, rows: int, cols: int) -> jax.Array:
     outr, outi = pl.pallas_call(
         _noise_kernel,
         grid=(F,),
-        in_specs=[pl.BlockSpec((1,), lambda f: (f,),
-                               memory_space=pltpu.SMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(fr, fr),
         out_shape=(jax.ShapeDtypeStruct((F, rows, cols), jnp.float32),
                    jax.ShapeDtypeStruct((F, rows, cols), jnp.float32)),
@@ -106,7 +105,8 @@ def _power_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                   *, A: int, C: int, sigma: float, synth_precision: str,
                   precision_name: str, doppler_precision: str):
     xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
-                       seed_ref[0], sigma, _MMS[synth_precision])
+                       seed_ref[pl.program_id(0)], sigma,
+                       _MMS[synth_precision])
 
     mm = _MMS[precision_name]
     zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], mm)        # range DFT
@@ -168,7 +168,7 @@ def scatterer_power(e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
                                     memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda f: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1,), lambda f: (f,), memory_space=pltpu.SMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     power_ds = pl.pallas_call(
         functools.partial(_power_kernel, A=A, C=C, sigma=sigma,
@@ -201,7 +201,8 @@ def _sig_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                 *, A: int, C: int, sigma: float, synth_precision: str,
                 sig_precision: str):
     xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
-                       seed_ref[0], sigma, _MMS[synth_precision])
+                       seed_ref[pl.program_id(0)], sigma,
+                       _MMS[synth_precision])
 
     # Contract with the K detected cells' range-DFT columns (f32-accurate
     # by default: signatures feed subspace AoA).
@@ -268,7 +269,7 @@ def scatterer_signatures(e_ac: jax.Array, e_fast: jax.Array,
 
     fr = lambda shape: pl.BlockSpec((1,) + shape, lambda f: (f,) + (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1,), lambda f: (f,), memory_space=pltpu.SMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     outr, outi = pl.pallas_call(
         functools.partial(_sig_kernel, A=A, C=C, sigma=sigma,
