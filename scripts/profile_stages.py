@@ -98,6 +98,15 @@ def main():
 
     stages.append(("aoa_eigh_mdl_beamform_conf", timeit(aoa_stage, sigs)))
 
+    # ---- phase B (the batched drivers' windowed smoothing + shift
+    # association + batched solves + prefix-sum pose) ----------------------
+    from radar_slam_tpu.pipeline import frame as frame_mod
+
+    feats = jax.jit(jax.vmap(
+        lambda s: frame_mod.frame_features(s, cfg)))(signals)
+    stages.append(("phase_b_smooth_assoc_solve_pose", timeit(
+        lambda f: frame_mod._sequence_from_features(f, cfg, True), feats)))
+
     total_us = sum(t for _, t in stages) * 1e6
     out = {
         "device": str(jax.devices()[0]),
