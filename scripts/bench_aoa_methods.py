@@ -58,7 +58,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f1", type=int, default=64)
     ap.add_argument("--f2", type=int, default=256)
+    ap.add_argument("--method", default=None,
+                    choices=("beamforming", "music", "esprit"),
+                    help="run ONE method in this process (default: spawn "
+                         "a subprocess per method so a backend crash "
+                         "cannot take down the other measurements)")
     args = ap.parse_args()
+
+    if args.method is None:
+        import subprocess
+        for m in ("beamforming", "music", "esprit"):
+            r = subprocess.run(
+                [sys.executable, __file__, "--f1", str(args.f1),
+                 "--f2", str(args.f2), "--method", m],
+                timeout=2400)
+            if r.returncode != 0:
+                print(f"{m}: FAILED (rc={r.returncode})", flush=True)
+        return
 
     from radar_slam_tpu.aoa import estimators
     from radar_slam_tpu.core.config import complete_analysis_config
@@ -108,13 +124,12 @@ def main():
         "beamforming": lambda s: estimators.estimate_beamforming(
             s, base.radar, base.aoa),
         "music": lambda s: estimators.estimate_music(s, base.radar, base.aoa),
-        "esprit": lambda s: estimators.estimate_esprit(s, base.radar,
-                                                       base.aoa),
+        "esprit": lambda s: estimators.estimate_esprit(s, base.radar),
     }
 
     out = {"device": str(jax.devices()[0]), "f1": args.f1, "f2": args.f2,
            "methods": {}}
-    for method in ("beamforming", "music", "esprit"):
+    for method in (args.method,):
         cfg = dataclasses.replace(
             base, aoa=dataclasses.replace(base.aoa, method=method))
         t1 = time_one(cfg, b1)
