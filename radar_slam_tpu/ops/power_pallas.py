@@ -54,7 +54,7 @@ _MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
 
 def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref, wdtr_ref, wdti_ref,
             out_ref, *, A: int, C: int, precision_name: str,
-            doppler_precision: str):
+            doppler_precision: str, doppler_layout: str):
     mm = _MMS[precision_name]
     mm_dop = _MMS[doppler_precision]
 
@@ -68,23 +68,37 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref, wdtr_ref, wdti_ref,
     # fastest with ~1 dB wobble on cells 30-60 dB below peak.  Power
     # accumulation is always f32 (dots emit f32).
     wdtr, wdti = wdtr_ref[:], wdti_ref[:]            # [D, C] (= W_dop^T)
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [D, S]
-    for a in range(A):
-        zar = zr[a * C:(a + 1) * C, :]               # [C, S]
-        zai = zi[a * C:(a + 1) * C, :]
-        o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)    # Doppler DFT
-        acc = acc + (o_r * o_r + o_i * o_i)
+    S = xr.shape[-1]
+    if doppler_layout == "wide":
+        # One [D, C] @ [C, A*S] matmul instead of A small ones: the A-loop's
+        # [D, C] x [C, S] dots are M=K=32-class MXU issues whose per-dot
+        # overhead dominates; paying one VMEM relayout (A, C) -> (C, A)
+        # buys a single wide-N dot.
+        z2r = zr.reshape(A, C, S).transpose(1, 0, 2).reshape(C, A * S)
+        z2i = zi.reshape(A, C, S).transpose(1, 0, 2).reshape(C, A * S)
+        o_r, o_i = _cmm(wdtr, wdti, z2r, z2i, mm_dop)     # [D, A*S]
+        p = o_r * o_r + o_i * o_i
+        acc = jnp.sum(p.reshape(p.shape[0], A, S), axis=1)
+    else:
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [D, S]
+        for a in range(A):
+            zar = zr[a * C:(a + 1) * C, :]               # [C, S]
+            zai = zi[a * C:(a + 1) * C, :]
+            o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)    # Doppler DFT
+            acc = acc + (o_r * o_r + o_i * o_i)
     out_ref[0] = acc * jnp.float32(1.0 / A)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dc_removal", "doppler_window",
-                                    "precision_name", "doppler_precision"))
+                                    "precision_name", "doppler_precision",
+                                    "doppler_layout"))
 def rds_power_fused(signals: jax.Array, mix: jax.Array,
                     dc_removal: bool = True,
                     doppler_window: Optional[str] = None,
                     precision_name: str = "default",
-                    doppler_precision: str = "high") -> jax.Array:
+                    doppler_precision: str = "high",
+                    doppler_layout: str = "loop") -> jax.Array:
     """Fused power map from baseband/raw ADC cubes.
 
     Args:
@@ -130,7 +144,8 @@ def rds_power_fused(signals: jax.Array, mix: jax.Array,
 
     power_ds = pl.pallas_call(
         functools.partial(_kernel, A=A, C=C, precision_name=precision_name,
-                          doppler_precision=doppler_precision),
+                          doppler_precision=doppler_precision,
+                          doppler_layout=doppler_layout),
         grid=(F,),
         in_specs=[frame_spec, frame_spec, wr_spec, wr_spec, wd_spec, wd_spec],
         out_specs=out_spec,
