@@ -106,7 +106,9 @@ def stage_breakdown(cfg, batches, key):
     signals = synthesize_frames_batch(batches, cfg.radar, key)
     p_lin = rds_power(signals, cfg.radar, window=cfg.window,
                       doppler_window=cfg.doppler_window,
-                      dft_precision=cfg.power_precision)
+                      dft_precision=cfg.power_precision,
+                      doppler_precision=cfg.doppler_precision,
+                      doppler_layout=cfg.doppler_layout)
     det = jax.jit(jax.vmap(lambda p: detect_peaks_from_power(
         p, cfg.radar, cfg.detection)))(p_lin)
 
@@ -116,7 +118,9 @@ def stage_breakdown(cfg, batches, key):
         "power_fused": chained_time(
             lambda s: rds_power(s, cfg.radar, window=cfg.window,
                                 doppler_window=cfg.doppler_window,
-                                dft_precision=cfg.power_precision), signals),
+                                dft_precision=cfg.power_precision,
+                                doppler_precision=cfg.doppler_precision,
+                                doppler_layout=cfg.doppler_layout), signals),
         "detect": chained_time(
             lambda p: jax.vmap(lambda x: detect_peaks_from_power(
                 x, cfg.radar, cfg.detection))(p), p_lin),

@@ -315,6 +315,24 @@ class PipelineConfig:
     # ~0.013 dB power-map error, inside every CFAR margin; signatures always
     # recompute at f32).
     power_precision: str = "default"
+    # Doppler-DFT precision / layout of the fused power kernels
+    # ("highest" = Mosaic 6-pass, "high" = manual bf16x3 f32-accurate at
+    # ~half the cost, "default" = bf16; layout "loop" = per-antenna
+    # [D,C]@[C,S] dots, "wide" = one [D,C]@[C,A*S] dot after a VMEM
+    # relayout).  Defaults are the chip-measured winners
+    # (scripts/bench_fused.py --sweep-doppler).
+    doppler_precision: str = "highest"
+    # Same knob for the cube-free synthesis kernels (synth_in_kernel):
+    # that path's accuracy tests pin "high" (f32-accurate bf16x3), which
+    # is also its chip-proven operating point.
+    synth_doppler_precision: str = "high"
+    doppler_layout: str = "loop"
+    # The layout choice inverts between the kernels (chip-measured,
+    # scripts/bench_doppler_sweep.py): "wide" loses end-to-end for the
+    # cube-input kernel but is ~13% faster inside the cube-free kernel
+    # (798 vs 916 us/64-frame batch at "high"), where the synthesis
+    # matmul already leaves the planes in a layout the concat consumes.
+    synth_doppler_layout: str = "wide"
     # Cube-free synthetic front end (fft_mode="fused" + scatterer input
     # only): synthesize the ADC cube INSIDE the power/signature kernels
     # (ops/synthpower_pallas.py) so it never touches HBM -- the synthesis
@@ -359,7 +377,16 @@ def complete_analysis_config() -> PipelineConfig:
     complex RDS cube is never materialized; ops/power_pallas.py).  Measured
     on chip (scripts/bench_fused.py): power stage 578 us vs 1751 us per
     64-frame batch isolated, e2e 12.9k vs 11.6k frames/s, pose error
-    unchanged (0.526 vs 0.538 m)."""
+    unchanged (0.526 vs 0.538 m).
+
+    synth_in_kernel=True: on TPU backends the synthetic-capture path also
+    folds cube synthesis + AWGN into the kernels (the ADC cube never
+    touches HBM; ops/synthpower_pallas.py) -- chip-measured ~14-16k vs
+    ~12-14k frames/s e2e at equal-or-better pose error
+    (scripts/bench_doppler_sweep.py); other backends fall back to the
+    materialized path automatically.  doppler_precision="high" (manual
+    bf16x3) is f32-accurate (0.0001 dB strong-cell error) and ~12% faster
+    e2e than the Mosaic 6-pass "highest"."""
     return PipelineConfig(
         radar=RadarConfig(num_chirps=32, noise_power=1e-6),
         detection=DetectionConfig(cfar_train_cells=8, guard_cells=2,
@@ -371,6 +398,8 @@ def complete_analysis_config() -> PipelineConfig:
                                 regularization_weight=0.01),
         pose=PoseConfig(planar=True),
         fft_mode="fused",
+        doppler_precision="high",
+        synth_in_kernel=True,
     )
 
 

@@ -52,6 +52,45 @@ def _mm_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
 _MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
 
 
+def _doppler_power(zr, zi, wdtr, wdti, A: int, C: int, mm_dop,
+                   layout: str):
+    """Doppler DFT + |.|^2 + antenna-sum of range-DFT'd planes.
+
+    zr/zi: [A*C, S] (antenna-major rows); wdtr/wdti: [D, C] (= W_dop^T).
+    Returns the un-normalized power accumulator [D, S] (f32).  Shared by
+    the cube-input kernel below and ops/synthpower_pallas.py's cube-free
+    kernel (identical Doppler stage, different producers).
+    """
+    S = zr.shape[-1]
+    if layout == "wide":
+        # One [D, C] @ [C, A*S] matmul instead of A small ones: the A-loop's
+        # [D, C] x [C, S] dots are M=K=32-class MXU issues whose per-dot
+        # overhead dominates; paying one VMEM relayout (A, C) -> (C, A)
+        # buys a single wide-N dot.  The relayout is expressed as lane
+        # concatenation of the A [C, S] row-blocks (and the reduction as a
+        # lane-slice sum): Mosaic rejects the equivalent 3-D
+        # reshape/transpose ("unsupported shape cast" on real hardware).
+        z2r = jnp.concatenate([zr[a * C:(a + 1) * C, :] for a in range(A)],
+                              axis=1)                     # [C, A*S]
+        z2i = jnp.concatenate([zi[a * C:(a + 1) * C, :] for a in range(A)],
+                              axis=1)
+        o_r, o_i = _cmm(wdtr, wdti, z2r, z2i, mm_dop)     # [D, A*S]
+        p = o_r * o_r + o_i * o_i
+        acc = jnp.zeros((wdtr.shape[0], S), jnp.float32)
+        for a in range(A):
+            acc = acc + p[:, a * S:(a + 1) * S]
+        return acc
+    if layout != "loop":
+        raise ValueError(f"Unknown doppler_layout: {layout}")
+    acc = jnp.zeros((wdtr.shape[0], S), jnp.float32)      # [D, S]
+    for a in range(A):
+        zar = zr[a * C:(a + 1) * C, :]                    # [C, S]
+        zai = zi[a * C:(a + 1) * C, :]
+        o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)     # Doppler DFT
+        acc = acc + (o_r * o_r + o_i * o_i)
+    return acc
+
+
 def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref, wdtr_ref, wdti_ref,
             out_ref, *, A: int, C: int, precision_name: str,
             doppler_precision: str, doppler_layout: str):
@@ -67,25 +106,8 @@ def _kernel(xr_ref, xi_ref, wrr_ref, wri_ref, wdtr_ref, wdti_ref,
     # (manual bf16x3) is f32-accurate at half that, "default" (bf16) is
     # fastest with ~1 dB wobble on cells 30-60 dB below peak.  Power
     # accumulation is always f32 (dots emit f32).
-    wdtr, wdti = wdtr_ref[:], wdti_ref[:]            # [D, C] (= W_dop^T)
-    S = xr.shape[-1]
-    if doppler_layout == "wide":
-        # One [D, C] @ [C, A*S] matmul instead of A small ones: the A-loop's
-        # [D, C] x [C, S] dots are M=K=32-class MXU issues whose per-dot
-        # overhead dominates; paying one VMEM relayout (A, C) -> (C, A)
-        # buys a single wide-N dot.
-        z2r = zr.reshape(A, C, S).transpose(1, 0, 2).reshape(C, A * S)
-        z2i = zi.reshape(A, C, S).transpose(1, 0, 2).reshape(C, A * S)
-        o_r, o_i = _cmm(wdtr, wdti, z2r, z2i, mm_dop)     # [D, A*S]
-        p = o_r * o_r + o_i * o_i
-        acc = jnp.sum(p.reshape(p.shape[0], A, S), axis=1)
-    else:
-        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # [D, S]
-        for a in range(A):
-            zar = zr[a * C:(a + 1) * C, :]               # [C, S]
-            zai = zi[a * C:(a + 1) * C, :]
-            o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)    # Doppler DFT
-            acc = acc + (o_r * o_r + o_i * o_i)
+    acc = _doppler_power(zr, zi, wdtr_ref[:], wdti_ref[:], A, C, mm_dop,
+                         doppler_layout)
     out_ref[0] = acc * jnp.float32(1.0 / A)
 
 

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radar_slam_tpu.ops.rds_pallas import _cmm, _mm_bf16x3, _mm_f32
-from radar_slam_tpu.ops.power_pallas import _mm_bf16
+from radar_slam_tpu.ops.power_pallas import _doppler_power, _mm_bf16
 
 _MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
 
@@ -59,9 +59,15 @@ def _standard_normals(shape):
     SAME shapes in the SAME order to reproduce one noise realization."""
     b1 = pltpu.prng_random_bits(shape)
     b2 = pltpu.prng_random_bits(shape)
-    # 24 high bits -> (0, 1) uniforms, offset to avoid log(0).
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # 24 high bits -> (0, 1) uniforms, offset to avoid log(0).  The bits
+    # are INT32 (prng_random_bits' abstract eval), so the shift must be
+    # logical: an arithmetic ``>> 8`` leaves half the draws negative and
+    # Box-Muller's log turns them into NaNs -- on real Mosaic this NaN'd
+    # half of every noise plane (interpret mode's PRNG hid it).
+    b1 = jax.lax.shift_right_logical(b1, 8)
+    b2 = jax.lax.shift_right_logical(b2, 8)
+    u1 = b1.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = b2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 
@@ -103,7 +109,8 @@ def noise_cube(seeds: jax.Array, rows: int, cols: int) -> jax.Array:
 def _power_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                   wrr_ref, wri_ref, wdtr_ref, wdti_ref, out_ref,
                   *, A: int, C: int, sigma: float, synth_precision: str,
-                  precision_name: str, doppler_precision: str):
+                  precision_name: str, doppler_precision: str,
+                  doppler_layout: str):
     xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
                        seed_ref[pl.program_id(0)], sigma,
                        _MMS[synth_precision])
@@ -111,28 +118,24 @@ def _power_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
     mm = _MMS[precision_name]
     zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], mm)        # range DFT
 
-    mm_dop = _MMS[doppler_precision]
-    wdtr, wdti = wdtr_ref[:], wdti_ref[:]                    # [D, C]
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)          # [D, S]
-    for a in range(A):
-        zar = zr[a * C:(a + 1) * C, :]
-        zai = zi[a * C:(a + 1) * C, :]
-        o_r, o_i = _cmm(wdtr, wdti, zar, zai, mm_dop)        # Doppler DFT
-        acc = acc + (o_r * o_r + o_i * o_i)
+    acc = _doppler_power(zr, zi, wdtr_ref[:], wdti_ref[:], A, C,
+                         _MMS[doppler_precision], doppler_layout)
     out_ref[0] = acc * jnp.float32(1.0 / A)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("C", "sigma", "dc_removal",
                                     "doppler_window", "synth_precision",
-                                    "precision_name", "doppler_precision"))
+                                    "precision_name", "doppler_precision",
+                                    "doppler_layout"))
 def scatterer_power(e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
                     mix: jax.Array, C: int, sigma: float,
                     dc_removal: bool = True,
                     doppler_window: Optional[str] = None,
                     synth_precision: str = "high",
                     precision_name: str = "default",
-                    doppler_precision: str = "high") -> jax.Array:
+                    doppler_precision: str = "high",
+                    doppler_layout: str = "loop") -> jax.Array:
     """Power map straight from synthesis factors; the cube never exists.
 
     Args:
@@ -174,7 +177,8 @@ def scatterer_power(e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
         functools.partial(_power_kernel, A=A, C=C, sigma=sigma,
                           synth_precision=synth_precision,
                           precision_name=precision_name,
-                          doppler_precision=doppler_precision),
+                          doppler_precision=doppler_precision,
+                          doppler_layout=doppler_layout),
         grid=(F,),
         in_specs=[seed_spec, fr((AC, Sc)), fr((AC, Sc)), fr((Sc, S)),
                   fr((Sc, S)), const((S, S)), const((S, S)),

@@ -63,6 +63,12 @@ class ScanContextConfig:
     min_overlap: int = 6         # min mutually occupied sectors per shift
     min_separation: int = 20     # temporal gate [frames]
     max_candidates: int = 16     # static verification budget
+    # Above this keyframe count, stage 1 streams candidate tiles through a
+    # running top-M merge (exact, O(F * stage1_tile) memory) instead of
+    # materializing the [F, F] similarity matrix.  See
+    # ``_stage1_candidates_tiled``.
+    stage1_dense_limit: int = 4096
+    stage1_tile: int = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -174,16 +180,66 @@ def _stage1_candidates(keys: jax.Array, top_m: int, min_separation: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("top_m", "min_separation", "min_overlap"))
+                   static_argnames=("top_m", "min_separation", "tile"))
+def _stage1_candidates_tiled(keys: jax.Array, top_m: int,
+                             min_separation: int, tile: int = 1024):
+    """City-scale stage 1: EXACT top-M retrieval in O(F * tile) memory.
+
+    The dense path materializes the [F, F] similarity matrix — 40 GB of
+    HBM at 10^5 keyframes — while its FLOPs (2 F^2 R) are trivial on the
+    MXU (~3 ms at that scale).  So the scalable form is not approximate
+    NN: it streams candidate TILES through a running top-M merge
+    (``lax.scan`` over [F, tile] similarity blocks, concatenate + top_k),
+    selecting the same candidates as :func:`_stage1_candidates` (values
+    within 1 ulp -- padded tiles change XLA's matmul tiling) while the
+    peak intermediate is [F, top_m + tile].  An approximate index would
+    trade recall for FLOPs nobody is short of.
+    """
+    F = keys.shape[0]
+    T = -(-F // tile)                                      # ceil
+    pad = T * tile - F
+    keys_p = jnp.pad(keys, ((0, pad), (0, 0)))
+    cand_tiles = keys_p.reshape(T, tile, -1)
+    offsets = jnp.arange(T) * tile
+    j_idx = jnp.arange(F)[:, None]                         # [F, 1]
+
+    def body(carry, tile_in):
+        vals, idx = carry                                  # [F, M]
+        ct, off = tile_in
+        sim = keys @ ct.T                                  # [F, tile]
+        i_idx = off + jnp.arange(tile)[None, :]
+        admit = (i_idx <= j_idx - min_separation) & (i_idx < F)
+        sim = jnp.where(admit, sim, -jnp.inf)
+        allv = jnp.concatenate([vals, sim], axis=1)
+        alli = jnp.concatenate(
+            [idx, jnp.broadcast_to(i_idx, sim.shape)], axis=1)
+        v2, sel = jax.lax.top_k(allv, top_m)
+        i2 = jnp.take_along_axis(alli, sel, axis=1)
+        return (v2, i2), None
+
+    init = (jnp.full((F, top_m), -jnp.inf, keys.dtype),
+            jnp.zeros((F, top_m), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(body, init, (cand_tiles, offsets))
+    return vals, idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_m", "min_separation", "min_overlap",
+                                    "dense_limit", "tile"))
 def _stage2_scores(desc: jax.Array, top_m: int, min_separation: int,
-                   min_overlap: int):
+                   min_overlap: int, dense_limit: int = 4096,
+                   tile: int = 1024):
     """Full retrieval program: ring-key top-M then FFT-shift similarity.
 
     Returns per (query j, rank m): stage-1 validity, candidate index i,
     SC similarity, best sector shift.
     """
     keys = ring_keys(desc)
-    s1_vals, s1_idx = _stage1_candidates(keys, top_m, min_separation)
+    if desc.shape[0] > dense_limit:
+        s1_vals, s1_idx = _stage1_candidates_tiled(keys, top_m,
+                                                   min_separation, tile)
+    else:
+        s1_vals, s1_idx = _stage1_candidates(keys, top_m, min_separation)
     cand = desc[s1_idx.reshape(-1)]                        # [F*M, R, S]
     query = jnp.repeat(desc, top_m, axis=0)                # [F*M, R, S]
     sim, shift = sc_correlate(cand, query, min_overlap)    # i-frame vs j-frame
@@ -206,7 +262,8 @@ def propose_candidates(desc: jax.Array, cfg: ScanContextConfig
     # otherwise crash on short sequences.
     top_m = min(cfg.top_m, F)
     ok, ii, sim, shift = device_get(_stage2_scores(
-        desc, top_m, cfg.min_separation, cfg.min_overlap))
+        desc, top_m, cfg.min_separation, cfg.min_overlap,
+        dense_limit=cfg.stage1_dense_limit, tile=cfg.stage1_tile))
     jj = np.repeat(np.arange(F), top_m)
     yaw = np.asarray(shift_to_yaw(jnp.asarray(shift), cfg.n_sectors))
 

@@ -115,7 +115,9 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
         p_lin = rds_power(signals, cfg.radar, window=cfg.window,
                           chirp_subset=cfg.chirp_subset,
                           doppler_window=cfg.doppler_window,
-                          dft_precision=cfg.power_precision)
+                          dft_precision=cfg.power_precision,
+                          doppler_precision=cfg.doppler_precision,
+                          doppler_layout=cfg.doppler_layout)
         det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
                                       clutter_lin=state.clutter)
         sigs = detection_signatures(signals, det.range_bin, det.doppler_bin,
@@ -259,7 +261,9 @@ def frame_features(signals: jax.Array, cfg: PipelineConfig):
         p_lin = rds_power(signals, cfg.radar, window=cfg.window,
                           chirp_subset=cfg.chirp_subset,
                           doppler_window=cfg.doppler_window,
-                          dft_precision=cfg.power_precision)
+                          dft_precision=cfg.power_precision,
+                          doppler_precision=cfg.doppler_precision,
+                          doppler_layout=cfg.doppler_layout)
         det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection)
         sigs = detection_signatures(signals, det.range_bin, det.doppler_bin,
                                     cfg.radar, window=cfg.window,
@@ -326,7 +330,9 @@ def sequence_features_scatterers_fused(scatterers: ScattererBatch,
     )(scatterers)
     p_lin = sp.scatterer_power(e_ac, e_fast, seeds, mix, C, sigma,
                                doppler_window=cfg.doppler_window,
-                               precision_name=cfg.power_precision)
+                               precision_name=cfg.power_precision,
+                               doppler_precision=cfg.synth_doppler_precision,
+                               doppler_layout=cfg.synth_doppler_layout)
     det = jax.vmap(lambda p: detect_peaks_from_power(
         p, cfg.radar, cfg.detection))(p_lin)
     sigs = sp.scatterer_signatures(e_ac, e_fast, seeds, det.range_bin,

@@ -134,7 +134,8 @@ def _mix_vector(cfg: RadarConfig, window: str, input_domain: str,
     jax.jit,
     static_argnames=("cfg", "window", "dc_removal", "input_domain",
                      "chirp_subset", "doppler_window", "mode",
-                     "dft_precision", "doppler_precision"))
+                     "dft_precision", "doppler_precision",
+                     "doppler_layout"))
 def rds_power(signals: jax.Array,
               cfg: RadarConfig,
               window: str = "hann",
@@ -144,7 +145,8 @@ def rds_power(signals: jax.Array,
               doppler_window: Optional[str] = None,
               mode: str = "auto",
               dft_precision: str = "default",
-              doppler_precision: str = "highest") -> jax.Array:
+              doppler_precision: str = "highest",
+              doppler_layout: str = "loop") -> jax.Array:
     """Non-coherent power map ``mean_a |rds|^2`` WITHOUT materializing the
     complex RDS cube (the fused detection path; VERDICT round-2 item 1).
 
@@ -156,10 +158,13 @@ def rds_power(signals: jax.Array,
     ``range_doppler_spectrum`` chain); "auto" -- pallas on TPU backends,
     xla elsewhere (the CPU test mesh cannot run compiled Mosaic kernels).
 
-    doppler_precision defaults to "highest" here (the full-pipeline
-    configuration proven on chip at 12.8k fps); the kernel's faster
-    "high"/"default" Doppler variants are measured isolated
-    (docs/BENCHMARKS.md) but pending a full-pipeline chip validation.
+    doppler_precision defaults to "highest" (accuracy-safe for direct
+    callers); the pipeline passes PipelineConfig.doppler_precision="high"
+    (manual bf16x3, f32-accurate at 0.0001 dB strong-cell error), the
+    chip-validated operating point -- ~12% faster end to end than the
+    Mosaic 6-pass "highest" (scripts/bench_doppler_sweep.py).
+    doppler_layout="wide" (one [D, C] @ [C, A*S] dot) wins isolated at
+    "highest" but loses end to end; "loop" is the default.
     """
     if chirp_subset is not None:
         signals = signals[..., chirp_subset[0]:chirp_subset[1], :]
@@ -171,7 +176,8 @@ def rds_power(signals: jax.Array,
         mix = _mix_vector(cfg, window, input_domain, signals.shape[-1])
         return rds_power_fused(signals, mix, dc_removal, doppler_window,
                                precision_name=dft_precision,
-                               doppler_precision=doppler_precision)
+                               doppler_precision=doppler_precision,
+                               doppler_layout=doppler_layout)
     if mode != "xla":
         raise ValueError(f"Unknown rds_power mode: {mode}")
     rds = range_doppler_spectrum(signals, cfg, window=window,

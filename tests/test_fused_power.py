@@ -136,3 +136,23 @@ def test_fused_pipeline_end_to_end_matches_fft(driver):
     err = np.linalg.norm(np.asarray(out_fus.pose)[-1, :2]
                          - np.asarray(gt["poses"])[-1, :2])
     assert err < 0.5, err
+
+
+def test_wide_doppler_layout_matches_loop_interpret():
+    """The 'wide' single-matmul Doppler layout is a pure re-association of
+    the per-antenna loop: power maps must agree to float tolerance at
+    every precision tier."""
+    cfg = _cfg()
+    sig = np.asarray(_signals(cfg, frames=1))[0]
+    from radar_slam_tpu.signal.rds import _mix_vector
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", sig.shape[-1])
+    for prec in ["highest", "high", "default"]:
+        with pltpu.force_tpu_interpret_mode():
+            loop = np.asarray(power_pallas.rds_power_fused(
+                jnp.asarray(sig), mix, True, cfg.doppler_window,
+                doppler_precision=prec, doppler_layout="loop"))
+            wide = np.asarray(power_pallas.rds_power_fused(
+                jnp.asarray(sig), mix, True, cfg.doppler_window,
+                doppler_precision=prec, doppler_layout="wide"))
+        scale = loop.max()
+        assert np.abs(wide - loop).max() / scale < 2e-6, prec

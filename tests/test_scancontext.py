@@ -125,3 +125,43 @@ def test_sc_matches_pose_gate_on_mild_drift():
     e = {p: np.linalg.norm(r["poses"][:n, :2] - poses[:, :2], axis=1).max()
          for p, r in res.items()}
     assert abs(e["pose"] - e["scancontext"]) < 0.5, e
+
+
+def test_stage1_tiled_matches_dense_exactly():
+    """The streaming tiled top-M (city-scale stage 1) is EXACT: identical
+    values and indices to the dense [F, F] path, including the temporal
+    mask, short tails (F not a tile multiple) and queries with fewer than
+    top_m admissible candidates."""
+    from radar_slam_tpu.parallel.scancontext import (_stage1_candidates,
+                                                     _stage1_candidates_tiled)
+    rng = np.random.default_rng(0)
+    for F, tile, min_sep, top_m in [(97, 16, 20, 4), (256, 64, 5, 8),
+                                    (33, 64, 10, 3), (130, 128, 128, 4)]:
+        raw = rng.uniform(0.0, 1.0, (F, 16)).astype(np.float32)
+        keys = jnp.asarray(raw / np.linalg.norm(raw, axis=1, keepdims=True))
+        dv, di = _stage1_candidates(keys, top_m, min_sep)
+        tv, ti = _stage1_candidates_tiled(keys, top_m, min_sep, tile)
+        # Padded tile shapes give XLA different matmul tilings -> <=1 ulp
+        # value wobble; the SELECTION (indices) must be identical.
+        fin = np.isfinite(np.asarray(dv))
+        np.testing.assert_array_equal(fin, np.isfinite(np.asarray(tv)))
+        np.testing.assert_allclose(np.asarray(dv)[fin], np.asarray(tv)[fin],
+                                   rtol=0, atol=5e-7, err_msg=f"F={F}")
+        np.testing.assert_array_equal(np.asarray(di)[fin],
+                                      np.asarray(ti)[fin],
+                                      err_msg=f"F={F}")
+
+
+def test_propose_candidates_tiled_path_matches_dense():
+    """End-to-end propose_candidates agrees whichever stage-1 path runs."""
+    import dataclasses as dc
+    from radar_slam_tpu.parallel.scancontext import (ScanContextConfig,
+                                                     build_descriptors,
+                                                     propose_candidates)
+    poses, pts, msk = circle_scene()
+    sc_dense = ScanContextConfig(min_separation=40)
+    sc_tiled = dc.replace(sc_dense, stage1_dense_limit=8, stage1_tile=16)
+    desc = build_descriptors(jnp.asarray(pts), jnp.asarray(msk), sc_dense)
+    a = propose_candidates(np.asarray(desc), sc_dense)
+    b = propose_candidates(np.asarray(desc), sc_tiled)
+    assert a == b and a, (a, b)

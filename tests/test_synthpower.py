@@ -191,3 +191,16 @@ def test_driver_phase_a_cube_free_matches_standard():
     err = np.linalg.norm(np.asarray(got.pose)[-1, :2]
                          - np.asarray(gt["poses"])[-1, :2])
     assert err < 0.5, err
+
+
+def test_synth_power_wide_layout_matches_loop(setup):
+    """Cube-free kernel: 'wide' Doppler layout == per-antenna loop."""
+    cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
+    with pltpu.force_tpu_interpret_mode():
+        loop = np.asarray(sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, 0.0,
+            doppler_window=cfg.doppler_window, doppler_layout="loop"))
+        wide = np.asarray(sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, 0.0,
+            doppler_window=cfg.doppler_window, doppler_layout="wide"))
+    assert np.abs(wide - loop).max() / loop.max() < 2e-6
