@@ -117,8 +117,12 @@ def main():
     n_sig = args.f1 * base.aoa.max_targets
     sigs = (rng.standard_normal((n_sig, A)).astype(np.float32)
             + 1j * rng.standard_normal((n_sig, A)).astype(np.float32))
-    sigs = jnp.asarray(sigs / np.linalg.norm(sigs, axis=-1, keepdims=True),
-                       jnp.complex64)
+    sigs = sigs / np.linalg.norm(sigs, axis=-1, keepdims=True)
+    # device_put, NOT jnp.asarray: a raw eager complex64 upload on the
+    # axon backend poisons the session (every later device->host fetch
+    # raises UNIMPLEMENTED); the library helper uploads re/im planes.
+    from radar_slam_tpu.utils.host import device_put
+    sigs = device_put(sigs.astype(np.complex64))
 
     iso = {
         "beamforming": lambda s: estimators.estimate_beamforming(

@@ -4,26 +4,42 @@ Multi-chip sharding tests run on the host platform with
 ``--xla_force_host_platform_device_count=8`` (the standard JAX fake-backend
 trick; the reference has no distributed tests to model, SURVEY.md section 4).
 Must run before the first ``import jax``.
+
+Set ``RADAR_SLAM_TEST_TPU=1`` to run on the ambient (TPU/axon) backend
+instead -- this is how the ``@skipif(platform not in ("tpu", "axon"))``
+chip-numerics tests actually execute (the round-3 in-kernel-PRNG NaN bug
+was invisible to interpret mode and WOULD have been caught by
+``test_noise_seeding_on_tpu``, which the CPU-forced suite always skipped):
+
+    RADAR_SLAM_TEST_TPU=1 python -m pytest tests/test_synthpower.py \
+        tests/test_ops_pallas.py -q -k "tpu or compiled"
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU = os.environ.get("RADAR_SLAM_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# The container's sitecustomize registers the axon TPU backend and forces
-# JAX_PLATFORMS=axon; override after import so tests run on the virtual
-# 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", False)
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not _ON_TPU:
+    # The container's sitecustomize registers the axon TPU backend and
+    # forces JAX_PLATFORMS=axon; override after import so tests run on the
+    # virtual 8-device CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+else:
+    jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
 

@@ -42,12 +42,17 @@ def setup():
     seeds = jnp.arange(2, dtype=jnp.int32) + 17
     sigma = float(np.sqrt(cfg.radar.noise_power))
     # Reference cube from the SAME factors + the SAME kernel noise stream.
-    with pltpu.force_tpu_interpret_mode():
-        nz = sp.noise_cube(seeds, A * C, S)
-    synth = jax.jit(lambda a, f: jnp.einsum(
-        "bxp,bxs->bps", a, f,
-        precision=jax.lax.Precision.HIGHEST))(e_ac, e_fast)
-    signals = (synth + sigma * nz).reshape(2, A, C, S)
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        # Interpret-mode Pallas hangs on the axon backend; the chip-only
+        # test (test_noise_seeding_on_tpu) does not use `signals`.
+        signals = None
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            nz = sp.noise_cube(seeds, A * C, S)
+        synth = jax.jit(lambda a, f: jnp.einsum(
+            "bxp,bxs->bps", a, f,
+            precision=jax.lax.Precision.HIGHEST))(e_ac, e_fast)
+        signals = (synth + sigma * nz).reshape(2, A, C, S)
     return cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S
 
 
@@ -137,9 +142,13 @@ def test_noise_seeding_on_tpu(setup):
     """Real-TPU seeding semantics: per-frame seeds give distinct noise,
     same seed reproduces, and the power/signature kernels share one
     realization (power from explicit cube == fused power)."""
+    from radar_slam_tpu.utils.host import device_get
+
     cfg, e_ac, e_fast, mix, seeds, sigma, signals_unused, C, A, S = setup
-    n = np.asarray(sp.noise_cube(jnp.array([17, 18], jnp.int32), A * C, S))
-    m = np.asarray(sp.noise_cube(jnp.array([17, 999], jnp.int32), A * C, S))
+    # device_get, not np.asarray: complex device->host transfers hang on
+    # the axon backend (utils/host.py module docstring).
+    n = device_get(sp.noise_cube(jnp.array([17, 18], jnp.int32), A * C, S))
+    m = device_get(sp.noise_cube(jnp.array([17, 999], jnp.int32), A * C, S))
     assert np.abs(n[0] - n[1]).max() > 0.1          # different seeds differ
     np.testing.assert_array_equal(n[0], m[0])       # same seed reproduces
     assert np.abs(n[1] - m[1]).max() > 0.1
