@@ -115,6 +115,84 @@ def main():
         "measured_total_us": round(total_us, 1),
         "implied_fps_from_stages": round(F / (total_us / 1e6), 1),
     }
+
+    # ---- production (cube-free) path: the config the bench actually runs
+    # (synth_in_kernel on TPU backends; neither the ADC cube nor the RDS
+    # cube exists in HBM).  Factors are recomputed inside each timed fn --
+    # closing over device arrays embeds constants whose np materialization
+    # the axon backend rejects.
+    if cfg.synth_in_kernel and jax.devices()[0].platform in ("tpu", "axon"):
+        from radar_slam_tpu.ops import synthpower_pallas as sp
+        from radar_slam_tpu.signal.rds import _mix_vector
+        from radar_slam_tpu.signal.synth import synthesis_factors
+
+        C = cfg.radar.num_chirps
+        S = cfg.radar.samples_per_chirp
+        sigma = float(cfg.radar.noise_power) ** 0.5
+
+        def factors(b):
+            return jax.vmap(lambda sc: synthesis_factors(
+                sc, cfg.radar, cfg.synth_fidelity))(b)
+
+        def power_from_scatterers(b):
+            # mix computed in-trace: a closed-over device array becomes an
+            # ir_constant whose np materialization axon rejects.
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = factors(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_power(
+                e_ac, e_fast, seeds, mix, C, sigma,
+                doppler_window=cfg.doppler_window,
+                precision_name=cfg.power_precision,
+                doppler_precision=cfg.synth_doppler_precision,
+                doppler_layout=cfg.synth_doppler_layout)
+
+        from radar_slam_tpu.signal.detect import detect_peaks_from_power
+        p_lin = jax.jit(power_from_scatterers)(batches)
+        det_p = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+            x, cfg.radar, cfg.detection)))(p_lin)
+
+        def sigs_from_scatterers(args):
+            b, rb, db = args
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = factors(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_signatures(
+                e_ac, e_fast, seeds, rb, db, mix, C, sigma,
+                doppler_window=cfg.doppler_window)
+
+        prod = []
+        prod.append(("factors_only", timeit(factors, batches)))
+        prod.append(("synth+power_kernel", timeit(
+            power_from_scatterers, batches)))
+        prod.append(("detect_from_power", timeit(
+            lambda pl: jax.vmap(lambda x: detect_peaks_from_power(
+                x, cfg.radar, cfg.detection))(pl), p_lin)))
+        prod.append(("synth+signatures_kernel", timeit(
+            sigs_from_scatterers,
+            (batches, det_p.range_bin, det_p.doppler_bin))))
+
+        def phase_a_full(args):
+            b, k = args
+            return frame_mod.sequence_features_scatterers_fused(b, k, cfg)
+
+        prod.append(("phase_a_complete", timeit(
+            phase_a_full, (batches, jax.random.key(0, impl="rbg")))))
+
+        feats_p = jax.jit(lambda b, k:
+                          frame_mod.sequence_features_scatterers_fused(
+                              b, k, cfg))(batches,
+                                          jax.random.key(0, impl="rbg"))
+        prod.append(("phase_b", timeit(
+            lambda f: frame_mod._sequence_from_features(f, cfg, True),
+            feats_p)))
+
+        a_plus_b = ([t for k, t in prod if k == "phase_a_complete"][0]
+                    + [t for k, t in prod if k == "phase_b"][0])
+        out["production_cube_free_us_per_64frames"] = {
+            k: round(t * 1e6, 1) for k, t in prod}
+        out["production_implied_fps"] = round(F / a_plus_b, 1)
+
     print(json.dumps(out, indent=2))
 
 
