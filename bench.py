@@ -2,12 +2,13 @@
 """End-to-end benchmark: full radar ego-motion pipeline frames/s on one chip.
 
 Workload = BASELINE.json config 2 (synthetic raw FMCW): point-cloud
-scatterers -> FMCW synthesis -> fused dechirp+DFT+power kernel -> CFAR
-detection -> f32 signature recompute -> robust AoA (beamforming +
-confidence + MDL + smoothing) -> association -> two-step 6-DoF velocity
-solve -> pose integration, at the reference's complete-analysis operating
-point (32 chirps, 8 antennas, 400 samples, 2 deg grid, top-50 targets;
-radarscenes_complete_analysis.py:47-87).
+scatterers -> cube-free synthesis+power kernel (the ADC cube and the RDS
+cube are both synthesized/consumed inside Pallas kernels and never touch
+HBM) -> CFAR detection -> exact-noise signature kernel -> robust AoA
+(beamforming + confidence + MDL + smoothing) -> association -> two-step
+6-DoF velocity solve -> pose integration, at the reference's
+complete-analysis operating point (32 chirps, 8 antennas, 400 samples,
+2 deg grid, top-50 targets; radarscenes_complete_analysis.py:47-87).
 
 Timing methodology (this container's TPU tunnel makes naive timing lie in
 BOTH directions: ``block_until_ready`` resolves before device completion,
@@ -24,7 +25,7 @@ and each dispatch pays a ~1-2 ms synchronous round trip):
 Regression gates (VERDICT round-2 item 2 -- the old gate admitted 9.6 m of
 drift):
 - ``pos_err_bound_ok``: final open-loop pose error <= 0.6 m over the 51 m /
-  64-frame path (recorded r02 value: 0.538 m);
+  64-frame path (recorded values: r02 0.538 m, r03 0.465 m);
 - ``adversarial_ok``: a movers+clutter mismatch scene must stay inside the
   reference parity bound (position RMSE <= 0.777 m);
 - ``sane`` requires both plus >90 % solve success.
@@ -98,10 +99,61 @@ def chained_time(fn, x0, iters=24):
 
 
 def stage_breakdown(cfg, batches, key):
-    """Device time of the heavy per-frame stages over the 64-frame batch."""
+    """Device time of the heavy per-frame stages over the 64-frame batch,
+    for the path the headline number actually runs (cube-free kernels when
+    synth_in_kernel is active on a TPU backend, else the materialized
+    stages)."""
     from radar_slam_tpu.signal.detect import detect_peaks_from_power
     from radar_slam_tpu.signal.rds import detection_signatures, rds_power
     from radar_slam_tpu.signal.synth import synthesize_frames_batch
+
+    if (cfg.synth_in_kernel and cfg.fft_mode == "fused"
+            and jax.default_backend() in ("tpu", "axon")):
+        from radar_slam_tpu.ops import synthpower_pallas as sp
+        from radar_slam_tpu.signal.rds import _mix_vector
+        from radar_slam_tpu.signal.synth import synthesis_factors
+
+        C = cfg.radar.num_chirps
+        S = cfg.radar.samples_per_chirp
+        sigma = float(cfg.radar.noise_power) ** 0.5
+
+        def power_cf(b):
+            # mix/factors built in-trace (closed-over device arrays become
+            # constants whose np materialization the backend rejects).
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = jax.vmap(lambda sc: synthesis_factors(
+                sc, cfg.radar, cfg.synth_fidelity))(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_power(
+                e_ac, e_fast, seeds, mix, C, sigma,
+                doppler_window=cfg.doppler_window,
+                precision_name=cfg.power_precision,
+                doppler_precision=cfg.synth_doppler_precision,
+                doppler_layout=cfg.synth_doppler_layout)
+
+        p_lin = jax.jit(power_cf)(batches)
+        det = jax.jit(jax.vmap(lambda p: detect_peaks_from_power(
+            p, cfg.radar, cfg.detection)))(p_lin)
+
+        def sigs_cf(args):
+            b, rb, db = args
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = jax.vmap(lambda sc: synthesis_factors(
+                sc, cfg.radar, cfg.synth_fidelity))(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_signatures(
+                e_ac, e_fast, seeds, rb, db, mix, C, sigma,
+                doppler_window=cfg.doppler_window)
+
+        stages = {
+            "synth_power_kernel": chained_time(power_cf, batches),
+            "detect": chained_time(
+                lambda p: jax.vmap(lambda x: detect_peaks_from_power(
+                    x, cfg.radar, cfg.detection))(p), p_lin),
+            "synth_signatures_kernel": chained_time(
+                sigs_cf, (batches, det.range_bin, det.doppler_bin)),
+        }
+        return {k: round(v * 1e6, 1) for k, v in stages.items()}
 
     signals = synthesize_frames_batch(batches, cfg.radar, key)
     p_lin = rds_power(signals, cfg.radar, window=cfg.window,
