@@ -146,6 +146,47 @@ def main():
             ai, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
             cfg.velocity))(a)
 
+    # Cube-free production kernels (TPU backends only): factors + mix are
+    # built in-trace (closed-over device arrays become constants whose np
+    # materialization the axon backend rejects).
+    sk_stages = []
+    if jax.default_backend() in ("tpu", "axon"):
+        from radar_slam_tpu.ops import synthpower_pallas as sp
+        from radar_slam_tpu.signal.rds import _mix_vector
+        from radar_slam_tpu.signal.synth import synthesis_factors
+
+        C = cfg.radar.num_chirps
+        S = cfg.radar.samples_per_chirp
+        sigma = float(cfg.radar.noise_power) ** 0.5
+
+        def sk_power(b):
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = jax.vmap(lambda sc: synthesis_factors(
+                sc, cfg.radar, cfg.synth_fidelity))(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_power(
+                e_ac, e_fast, seeds, mix, C, sigma,
+                doppler_window=cfg.doppler_window,
+                precision_name=cfg.power_precision,
+                doppler_precision=cfg.synth_doppler_precision,
+                doppler_layout=cfg.synth_doppler_layout)
+
+        def sk_sigs(args):
+            b, rb, db = args
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = jax.vmap(lambda sc: synthesis_factors(
+                sc, cfg.radar, cfg.synth_fidelity))(b)
+            seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
+            return sp.scatterer_signatures(
+                e_ac, e_fast, seeds, rb, db, mix, C, sigma,
+                doppler_window=cfg.doppler_window)
+
+        sk_stages = [
+            ("synth_power_kernel (cube-free production)", sk_power, batches),
+            ("synth_signatures_kernel (cube-free production)", sk_sigs,
+             (batches, det.range_bin, det.doppler_bin)),
+        ]
+
     stages = [
         ("synthesis", lambda b: synthesize_frames_batch(b, cfg.radar, key),
          batches),
@@ -167,6 +208,7 @@ def main():
         ("aoa_eigh_mdl_beamform_conf", aoa_stage, sigs),
         ("velocity_solve", solve_stage, sol_in),
     ]
+    stages[3:3] = sk_stages
 
     rows = []
     for name, fn, x0 in stages:
@@ -182,7 +224,10 @@ def main():
             "bound": "compute" if t_c >= t_m else "memory",
             "sol_us": round(sol * 1e6, 1),
             "achieved_us": round(t_meas * 1e6, 1),
-            "pct_of_sol": round(100.0 * sol / t_meas, 1),
+            # Differencing noise can produce a ~0 achieved time for very
+            # cheap stages; a percentage computed from it is meaningless.
+            "pct_of_sol": (round(100.0 * sol / t_meas, 1)
+                           if t_meas * 1e6 >= 1.0 else None),
         })
 
     out = {"device": str(jax.devices()[0]), "frames": F,
