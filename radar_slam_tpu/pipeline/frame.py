@@ -148,6 +148,16 @@ def process_signals(state: FrameState, signals: jax.Array, cfg: PipelineConfig,
             rds, det, state.smoother, cfg.radar, cfg.aoa,
             method=cfg.aoa.method)
 
+    return _step_from_targets(state, det, targets, smoother, clutter, cfg,
+                              rotate_pose)
+
+
+def _step_from_targets(state: FrameState, det, targets, smoother, clutter,
+                       cfg: PipelineConfig, rotate_pose: bool
+                       ) -> Tuple[FrameState, FrameOutput]:
+    """The stateful tail of one frame step (association -> 6-DoF solve ->
+    pose -> state update), shared by the signal-domain step and the
+    cube-free scatterer step."""
     assoc = associate_targets(targets, state.prev_targets,
                               cfg.frame_dt, cfg.velocity)
     assoc = assoc._replace(valid=assoc.valid & state.prev_valid)
@@ -197,7 +207,50 @@ def process_scatterers(state: FrameState, scatterers: ScattererBatch,
                        rotate_pose: bool = True
                        ) -> Tuple[FrameState, FrameOutput]:
     """One frame step from point-cloud scatterers (synthesis included).
-    ``state`` is donated (see :func:`process_signals`)."""
+    ``state`` is donated (see :func:`process_signals`).
+
+    With ``synth_in_kernel`` active on a TPU backend the step runs the
+    cube-free front end per frame (the ADC cube is synthesized inside the
+    power/signature kernels, ``ops/synthpower_pallas.py``) -- the same
+    kernels the batched driver uses, so the sequential scan and streaming
+    drivers share the production code path.  Noise realization differs
+    from the materialized path (in-kernel Mosaic PRNG vs
+    ``jax.random.normal``; same statistics)."""
+    if (cfg.fft_mode == "fused" and cfg.synth_in_kernel
+            and cfg.chirp_subset is None
+            and jax.default_backend() in ("tpu", "axon")):
+        from radar_slam_tpu.ops import synthpower_pallas as sp
+        from radar_slam_tpu.signal.rds import _mix_vector
+        from radar_slam_tpu.signal.synth import synthesis_factors
+
+        C = cfg.radar.num_chirps
+        S = cfg.radar.samples_per_chirp
+        sigma = float(cfg.radar.noise_power) ** 0.5
+        seeds = jax.random.bits(key, (1,), jnp.uint32).astype(jnp.int32)
+        mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+        e_ac, e_fast = synthesis_factors(scatterers, cfg.radar,
+                                         cfg.synth_fidelity)
+        p_lin = sp.scatterer_power(
+            e_ac[None], e_fast[None], seeds, mix, C, sigma,
+            doppler_window=cfg.doppler_window,
+            precision_name=cfg.power_precision,
+            doppler_precision=cfg.synth_doppler_precision,
+            doppler_layout=cfg.synth_doppler_layout)[0]
+        det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
+                                      clutter_lin=state.clutter)
+        sigs = sp.scatterer_signatures(
+            e_ac[None], e_fast[None], seeds, det.range_bin[None],
+            det.doppler_bin[None], mix, C, sigma,
+            doppler_window=cfg.doppler_window)[0]
+        clutter = (detect_mod.clutter_map_update_from_power(
+            state.clutter, p_lin, cfg.detection.clutter_map_alpha)
+            if state.clutter is not None else None)
+        targets, smoother = aoa_robust.process_targets_robust(
+            None, det, state.smoother, cfg.radar, cfg.aoa,
+            method=cfg.aoa.method, signatures=sigs,
+            doppler_bins=p_lin.shape[-1])
+        return _step_from_targets(state, det, targets, smoother, clutter,
+                                  cfg, rotate_pose)
     signals = synthesize_frame(scatterers, cfg.radar, key,
                                fidelity=cfg.synth_fidelity)
     return process_signals(state, signals, cfg, rotate_pose)
