@@ -146,12 +146,20 @@ def _e2e_one(f1: int, f2: int, **over) -> dict:
     return {"frames_per_s": round(fps, 1), "final_pose_err_m": round(err, 3)}
 
 
+# The mat_* rows must force synth_in_kernel=False (it defaults ON for TPU
+# backends since r03c) or they silently measure the cube-free path; the sk_*
+# rows steer the cube-free kernel's layout, which reads
+# ``synth_doppler_layout`` (``doppler_layout`` configures the cube-input
+# kernel the sk path never runs).
 E2E_CANDIDATES = {
-    "mat_highest_loop_r03default": {},
-    "mat_high_wide": {"doppler_precision": "high", "doppler_layout": "wide"},
-    "mat_high_loop": {"doppler_precision": "high", "doppler_layout": "loop"},
-    "sk_high_loop_r03default": {"synth_in_kernel": True},
-    "sk_high_wide": {"synth_in_kernel": True, "doppler_layout": "wide"},
+    "mat_highest_loop": {"synth_in_kernel": False},
+    "mat_high_wide": {"synth_in_kernel": False,
+                      "doppler_precision": "high", "doppler_layout": "wide"},
+    "mat_high_loop": {"synth_in_kernel": False,
+                      "doppler_precision": "high", "doppler_layout": "loop"},
+    "sk_high_wide_r03default": {"synth_in_kernel": True,
+                                "synth_doppler_layout": "wide"},
+    "sk_high_loop": {"synth_in_kernel": True, "synth_doppler_layout": "loop"},
 }
 
 

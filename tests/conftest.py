@@ -44,6 +44,31 @@ else:
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the full tier; also RADAR_SLAM_FULL=1)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy (>~7 s) tests -- skipped by default so the iteration "
+        "suite stays under ~5 min; run the full tier with --runslow or "
+        "RADAR_SLAM_FULL=1 (VERDICT r03 item 9)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if (config.getoption("--runslow")
+            or os.environ.get("RADAR_SLAM_FULL") == "1"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: run with --runslow or RADAR_SLAM_FULL=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()

@@ -163,6 +163,7 @@ def test_basic_process_targets_music():
     assert abs(np.rad2deg(float(targets.azimuth_rad[best])) - np.rad2deg(-0.2)) < 2.0
 
 
+@pytest.mark.slow
 def test_smooth_windowed_matches_scanned_update():
     """The scan-free windowed smoother must reproduce the slot-table scan
     exactly (under the documented no-capacity-eviction condition)."""

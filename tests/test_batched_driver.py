@@ -23,6 +23,7 @@ CFG = PipelineConfig(
 )
 
 
+@pytest.mark.slow
 def test_batched_matches_scan():
     batches, gt = constant_motion_scene(
         jax.random.key(5), num_frames=8, dt=CFG.frame_dt,

@@ -145,6 +145,7 @@ def test_sequence_quality_analysis(tmp_path):
     assert q["duration_seconds"] > 0
 
 
+@pytest.mark.slow
 def test_cli_analyze_data_insights_multiseq(tmp_path, capsys):
     """analyze-data over two synthetic runs: JSON + markdown dataset rollup
     (parity with scripts/analyze_data.py plus multi-sequence aggregation;

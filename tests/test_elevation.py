@@ -95,6 +95,7 @@ def scene_3d():
         z_span=5.0)
 
 
+@pytest.mark.slow
 def test_vz_recovery_with_ura(scene_3d):
     batches, gt = scene_3d
     out = pipe.process_sequence(batches, jax.random.key(0), CFG)

@@ -46,6 +46,7 @@ def test_rds_power_xla_matches_fft_power():
                                rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_power_kernel_matches_reference_interpret():
     """Pallas kernel (interpret mode) vs the f32 XLA oracle; bf16 default
     precision must stay inside the CFAR-safe tolerance, 'high' must be
@@ -112,6 +113,7 @@ def test_fused_detections_match_fft_path():
 
 
 @pytest.mark.parametrize("driver", ["scan", "batched"])
+@pytest.mark.slow
 def test_fused_pipeline_end_to_end_matches_fft(driver):
     """Both sequence drivers, fused mode vs default: same trajectory."""
     import dataclasses
@@ -138,6 +140,7 @@ def test_fused_pipeline_end_to_end_matches_fft(driver):
     assert err < 0.5, err
 
 
+@pytest.mark.slow
 def test_wide_doppler_layout_matches_loop_interpret():
     """The 'wide' single-matmul Doppler layout is a pure re-association of
     the per-antenna loop: power maps must agree to float tolerance at

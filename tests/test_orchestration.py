@@ -36,6 +36,7 @@ def scene():
         scene=SceneConfig(num_points=64, max_scatterers=CFG.max_scatterers))
 
 
+@pytest.mark.slow
 def test_six_step_pipeline(tmp_path, scene):
     batches, gt = scene
     pipe = EgoMotionPipeline(CFG, tmp_path, save_artifacts=True)
@@ -77,6 +78,7 @@ def test_pipeline_resume_from_raw(tmp_path, scene):
     assert rds.shape[0] == 8
 
 
+@pytest.mark.slow
 def test_streaming_analyzer(scene):
     batches, gt = scene
     an = StreamingAnalyzer(CFG)

@@ -33,6 +33,7 @@ def signals16(eight_devices):
     return sig, gt
 
 
+@pytest.mark.slow
 def test_dp_pipeline_multi_vs_single_device(signals16):
     """EVERY frame of the 8-device run must match the 1-device run exactly
     (VERDICT round-1 item 7: round 1 reset smoother tracks at block
@@ -54,6 +55,7 @@ def test_dp_pipeline_multi_vs_single_device(signals16):
     assert abs(np.asarray(out1["velocity"])[ok][:, 0].mean() - 6.0) < 0.2
 
 
+@pytest.mark.slow
 def test_dp_pipeline_matches_batched_driver(signals16):
     """The dp driver's semantics are the single-device batched driver's
     (same windowed smoother, same prior-free solve): poses must agree at
@@ -120,6 +122,7 @@ def test_loop_closure_pulls_trajectory():
     assert np.linalg.norm(r) < 0.05
 
 
+@pytest.mark.slow
 def test_schur_block_step(eight_devices):
     g = make_noisy_chain(n=64, drift=0.05)
     mesh = make_mesh(8)
@@ -151,6 +154,7 @@ def _loopy_graph(n=64, drift=0.08, seed=0):
     return g
 
 
+@pytest.mark.slow
 def test_schur_loopy_step_equals_dense_gn_step(eight_devices):
     """ONE distributed Schur+Woodbury step on a graph with two active loop
     closures must equal the exact dense damped-GN step (round 1 required
@@ -176,6 +180,7 @@ def test_schur_loopy_step_equals_dense_gn_step(eight_devices):
     np.testing.assert_allclose(schur, dense, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_schur_with_loop_closures_converges(eight_devices):
     """Iterated Schur steps on a loopy 64-keyframe graph reach GN-CG's cost
     and close the loop residuals."""

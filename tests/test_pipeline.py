@@ -34,6 +34,7 @@ def scene():
         scene=SceneConfig(num_points=48, max_scatterers=CFG.max_scatterers))
 
 
+@pytest.mark.slow
 def test_sequence_velocity_recovery(scene):
     batches, gt = scene
     out = pipe.process_sequence(batches, jax.random.key(0), CFG)
@@ -58,6 +59,7 @@ def test_sequence_trajectory_parity_bound(scene):
     assert m["yaw_rmse"] <= 0.1, m                     # beats 0.466 rad bound
 
 
+@pytest.mark.slow
 def test_signal_sequence_entry(scene):
     batches, gt = scene
     from radar_slam_tpu.signal.synth import synthesize_frames_batch
@@ -68,6 +70,7 @@ def test_signal_sequence_entry(scene):
     assert np.asarray(out.pose).shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_streaming_matches_scan(scene):
     """Frame-by-frame stepping must equal the scan driver exactly."""
     batches, _ = scene

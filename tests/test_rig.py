@@ -43,6 +43,7 @@ def rig_scene():
         yaw_rate=0.25, rig=RIG, scene=SCENE)
 
 
+@pytest.mark.slow
 def test_rig_velocity_and_pose_recovery(rig_scene):
     batches, gt = rig_scene
     out = rigmod.process_sequence_rig(batches, jax.random.key(0), CFG, RIG)
@@ -59,6 +60,7 @@ def test_rig_velocity_and_pose_recovery(rig_scene):
     assert err.max() <= 0.5, err
 
 
+@pytest.mark.slow
 def test_yaw_rate_doppler_observability(rig_scene):
     """Doppler-only solve, no apparent-velocity rows: yaw rate must be
     recovered by the rig (lever arm) and NOT by a colocated sensor."""
@@ -131,6 +133,7 @@ def test_offset_sensor_merged_path_biases_rig_path_exact():
     assert perr_merged > 5.0 * perr_rig, (perr_merged, perr_rig)
 
 
+@pytest.mark.slow
 def test_colocated_rig_matches_single_sensor_step():
     """A ((0,0,0),) rig must reproduce the single-sensor pipeline."""
     batches, _ = constant_motion_scene(3, num_frames=4, dt=CFG.frame_dt,
@@ -157,6 +160,7 @@ def test_colocated_rig_matches_single_sensor_step():
             np.asarray(out2.motion.velocity), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_rig_fused_detection_matches_fft(rig_scene):
     """The per-sensor fused detection branch (rig.py per_sensor, fft_mode
     "fused") must reproduce the FFT-cube trajectory within float

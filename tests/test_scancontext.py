@@ -69,6 +69,7 @@ def test_retrieval_is_temporally_gated():
     assert cands == []
 
 
+@pytest.mark.slow
 def test_scancontext_survives_drift_where_pose_gate_fails():
     """Odometry drift larger than the revisit gate: the pose-gated proposer
     finds nothing, scan-context retrieval still closes the loop and the

@@ -43,6 +43,7 @@ def corridor_velocities(rng):
 
 
 @pytest.mark.parametrize("jitter", [0.0, 0.35, 0.6])
+@pytest.mark.slow
 def test_aliased_corridor_no_corrupting_loop(jitter):
     """Across seeds, clutter, and movers: no accepted loop may pull the
     trajectory away from odometry (there are NO true revisits here).
@@ -115,6 +116,7 @@ def test_injected_wrong_candidate_rejected(monkeypatch):
     assert loops == [], loops
 
 
+@pytest.mark.slow
 def test_retrieval_precision_recall_documented():
     """Post-verification precision must be 1.0 (zero false accepts) over
     the corridor suite, and recall >= 3/4 over drifted circle scenes.

@@ -121,6 +121,7 @@ def test_refinement_corrects_drift():
     assert ref_err.max() <= open_err.max() + 1e-6
 
 
+@pytest.mark.slow
 def test_refinement_schur_solver_on_mesh(eight_devices):
     """The --slam path through the distributed Schur solver (VERDICT round-1
     item 6 done criterion): same drift correction as the CG solver on the

@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 import jax
 import numpy as np
 
@@ -48,6 +49,7 @@ def _run_full(cfg, batches, gt):
     return np.asarray(a.results["estimated_trajectory"])
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     """In-process: abandon an analyzer mid-sequence, restore a new one from
     its checkpoints, finish; trajectories must be identical."""
@@ -78,6 +80,7 @@ def test_resume_matches_uninterrupted(tmp_path):
     assert m["frames_processed"] == FRAMES
 
 
+@pytest.mark.slow
 def test_resume_after_hard_kill(tmp_path):
     """Child process os._exit()s mid-sequence (a real crash: no flush, no
     cleanup); the parent resumes from its checkpoints and matches the

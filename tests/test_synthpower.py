@@ -26,6 +26,14 @@ from radar_slam_tpu.signal.rds import (_mix_vector, detection_signatures,
                                        rds_power)
 from radar_slam_tpu.signal.synth import synthesis_factors
 
+# Interpret-mode Pallas hangs on the axon backend (memory: axon pitfalls),
+# and the setup fixture returns signals=None there -- under
+# RADAR_SLAM_TEST_TPU=1 these tests must SKIP rather than rely on the
+# documented -k "tpu or compiled" filter (ADVICE r03).
+interpret_only = pytest.mark.skipif(
+    jax.devices()[0].platform in ("tpu", "axon"),
+    reason="interpret-mode Pallas hangs on the axon/TPU backend")
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -56,6 +64,7 @@ def setup():
     return cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S
 
 
+@interpret_only
 def test_power_matches_explicit_cube(setup):
     cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
     want = np.asarray(rds_power(signals, cfg.radar, window=cfg.window,
@@ -69,6 +78,7 @@ def test_power_matches_explicit_cube(setup):
     assert np.abs(got - want).max() / want.max() < 1e-4
 
 
+@interpret_only
 def test_power_bf16_inside_cfar_margin(setup):
     """Production precisions (bf16 range DFT, bf16x3 Doppler): power-map
     dB error far inside the 12 dB CFAR offset on detectable cells."""
@@ -97,6 +107,7 @@ def test_power_bf16_inside_cfar_margin(setup):
                           np.asarray(det_g.doppler_bin)[v])
 
 
+@interpret_only
 def test_signatures_match_explicit_cube(setup):
     """Same seeds -> same noise stream: kernel signatures equal the cube
     gather from the explicitly reconstructed noisy cube."""
@@ -119,6 +130,7 @@ def test_signatures_match_explicit_cube(setup):
     assert np.abs(got - want)[v].max() < 2e-4
 
 
+@interpret_only
 def test_noise_stream_is_reproducible(setup):
     """noise_cube twice with the same seeds -> identical realization.
 
@@ -175,6 +187,8 @@ def test_noise_seeding_on_tpu(setup):
     assert np.abs(got - want).max() / want.max() < 1e-4
 
 
+@interpret_only
+@pytest.mark.slow
 def test_driver_phase_a_cube_free_matches_standard():
     """The cube-free phase A feeding the standard phase B reproduces the
     materialized driver's trajectory (noise off: interpret-mode PRNG is
@@ -202,6 +216,7 @@ def test_driver_phase_a_cube_free_matches_standard():
     assert err < 0.5, err
 
 
+@interpret_only
 def test_synth_power_wide_layout_matches_loop(setup):
     """Cube-free kernel: 'wide' Doppler layout == per-antenna loop."""
     cfg, e_ac, e_fast, mix, seeds, sigma, signals, C, A, S = setup
