@@ -227,21 +227,31 @@ def process_scatterers(state: FrameState, scatterers: ScattererBatch,
         S = cfg.radar.samples_per_chirp
         sigma = float(cfg.radar.noise_power) ** 0.5
         seeds = jax.random.bits(key, (1,), jnp.uint32).astype(jnp.int32)
-        mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
-        e_ac, e_fast = synthesis_factors(scatterers, cfg.radar,
-                                         cfg.synth_fidelity)
-        p_lin = sp.scatterer_power(
-            e_ac[None], e_fast[None], seeds, mix, C, sigma,
-            doppler_window=cfg.doppler_window,
-            precision_name=cfg.power_precision,
-            doppler_precision=cfg.synth_doppler_precision,
-            doppler_layout=cfg.synth_doppler_layout)[0]
-        det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
-                                      clutter_lin=state.clutter)
-        sigs = sp.scatterer_signatures(
-            e_ac[None], e_fast[None], seeds, det.range_bin[None],
-            det.doppler_bin[None], mix, C, sigma,
-            doppler_window=cfg.doppler_window)[0]
+        if _one_pass_active(cfg):
+            clut = (state.clutter[None]
+                    if state.clutter is not None else None)
+            p_b, det_b, sigs_b = _onepass_frontend(
+                jax.tree.map(lambda x: x[None], scatterers), seeds, cfg,
+                clutter=clut)
+            p_lin = p_b[0]
+            det = jax.tree.map(lambda x: x[0], det_b)
+            sigs = sigs_b[0]
+        else:
+            mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+            e_ac, e_fast = synthesis_factors(scatterers, cfg.radar,
+                                             cfg.synth_fidelity)
+            p_lin = sp.scatterer_power(
+                e_ac[None], e_fast[None], seeds, mix, C, sigma,
+                doppler_window=cfg.doppler_window,
+                precision_name=cfg.power_precision,
+                doppler_precision=cfg.synth_doppler_precision,
+                doppler_layout=cfg.synth_doppler_layout)[0]
+            det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
+                                          clutter_lin=state.clutter)
+            sigs = sp.scatterer_signatures(
+                e_ac[None], e_fast[None], seeds, det.range_bin[None],
+                det.doppler_bin[None], mix, C, sigma,
+                doppler_window=cfg.doppler_window)[0]
         clutter = (detect_mod.clutter_map_update_from_power(
             state.clutter, p_lin, cfg.detection.clutter_map_alpha)
             if state.clutter is not None else None)
@@ -354,6 +364,48 @@ def _aoa_features(det, sigs, cfg: PipelineConfig):
     return det, sigs, keep, num_sources, is_multi, angles_deg, el_deg, conf
 
 
+def _one_pass_active(cfg: PipelineConfig) -> bool:
+    """The one-pass front end handles CA/fixed-threshold detection on TPU
+    backends; everything else falls back to the three-dispatch path."""
+    return (cfg.frontend_one_pass and cfg.detection.cfar_mode == "ca"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
+                      cfg: PipelineConfig, clutter=None):
+    """Run the one-pass front end (``ops/frontend_pallas.py``) over a
+    frame batch: ONE Pallas program does synthesis + noise (drawn once) +
+    range DFT (-> Z) + Doppler power + CA-CFAR mask; XLA then top-K's the
+    score map and gathers signatures as exact Z columns.  Returns
+    (p_lin [F, R, D], det [F, K] Detections, sigs [F, K, A])."""
+    from radar_slam_tpu.ops import frontend_pallas as fe
+    from radar_slam_tpu.signal.rds import _mix_vector
+    from radar_slam_tpu.signal.synth import synthesis_factors
+
+    C = cfg.radar.num_chirps
+    S = cfg.radar.samples_per_chirp
+    sigma = float(cfg.radar.noise_power) ** 0.5
+    d = cfg.detection
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+    e_ac, e_fast = jax.vmap(
+        lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
+    )(scatterers)
+    lo, hi = detect_mod.range_gate_bin_interval(cfg.radar, S, d)
+    p_lin, rb, db, vals, sigs = fe.scatterer_frontend(
+        e_ac, e_fast, seeds, mix, C, sigma, d.max_detections,
+        train=d.cfar_train_cells, guard=d.guard_cells,
+        neighborhood=d.neighborhood, offset_db=d.cfar_offset_db,
+        threshold_db=d.threshold_db, min_range_bin=lo, max_range_bin=hi,
+        clutter=clutter, clutter_offset_db=d.clutter_offset_db,
+        doppler_window=cfg.doppler_window,
+        precision_name=cfg.power_precision,
+        doppler_precision=cfg.synth_doppler_precision,
+        doppler_layout=cfg.synth_doppler_layout)
+    det = jax.vmap(lambda p, r, dd, v: detect_mod.detections_from_topk(
+        p, r, dd, v, cfg.radar, cfg.detection))(p_lin, rb, db, vals)
+    return p_lin, det, sigs
+
+
 def sequence_features_scatterers_fused(scatterers: ScattererBatch,
                                        key: jax.Array, cfg: PipelineConfig):
     """Phase A for a scatterer sequence with the CUBE-FREE front end: the
@@ -376,8 +428,12 @@ def sequence_features_scatterers_fused(scatterers: ScattererBatch,
     S = cfg.radar.samples_per_chirp
     sigma = float(cfg.radar.noise_power) ** 0.5
     seeds = jax.random.bits(key, (F,), jnp.uint32).astype(jnp.int32)
-    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
 
+    if _one_pass_active(cfg):
+        _, det, sigs = _onepass_frontend(scatterers, seeds, cfg)
+        return jax.vmap(lambda d, s: _aoa_features(d, s, cfg))(det, sigs)
+
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
     e_ac, e_fast = jax.vmap(
         lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
     )(scatterers)

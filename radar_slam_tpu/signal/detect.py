@@ -230,9 +230,53 @@ def _finalize_detections(power_db: jax.Array, is_peak_above: jax.Array,
     # Top-K by power over the masked map (static shape).
     score = jnp.where(mask, power_db, -jnp.inf).reshape(-1)
     top_vals, top_idx = jax.lax.top_k(score, K)
-    valid = jnp.isfinite(top_vals)
     r_bin = (top_idx // D).astype(jnp.int32)
     d_bin = (top_idx % D).astype(jnp.int32)
+    return _detections_from_bins(power_db, r_bin, d_bin, top_vals, cfg, det)
+
+
+def range_gate_bin_interval(cfg: RadarConfig, R: int,
+                            det: DetectionConfig) -> tuple[int, int]:
+    """Static inclusive bin interval [lo, hi] of the range gate -- the
+    bins where ``(range_axis_m(cfg, R) >= det.min_range) &
+    (<= det.max_range)`` holds (host-side numpy replica of the f32 axis,
+    so the one-pass kernel's iota gate matches the XLA mask)."""
+    import numpy as np
+    bin_hz = cfg.sampling_rate / R
+    metres_per_hz = cfg.c / (2.0 * cfg.chirp_rate)
+    ranges = (np.arange(R, dtype=np.float32)
+              * np.float32(bin_hz * metres_per_hz))
+    ok = np.nonzero((ranges >= det.min_range)
+                    & (ranges <= det.max_range))[0]
+    if ok.size == 0:
+        return (1, 0)      # empty gate: lo > hi masks every bin
+    return (int(ok[0]), int(ok[-1]))
+
+
+def detections_from_topk(p_lin: jax.Array, r_bin: jax.Array,
+                         d_bin: jax.Array, top_vals: jax.Array,
+                         cfg: RadarConfig, det: DetectionConfig
+                         ) -> Detections:
+    """Build :class:`Detections` from raw top-K picks.
+
+    The one-pass front-end kernel (``ops/frontend_pallas.py``) runs
+    CFAR + local-max + gates + top-K in VMEM and emits raw (pre-NMS)
+    bins with -inf ``top_vals`` for exhausted slots; this is the
+    remaining [K]-shaped tail (NMS, zeroing, sub-bin interpolation,
+    bin->metric conversion), identical to :func:`detect_peaks`'s."""
+    power_db = 10.0 * jnp.log10(p_lin + 1e-12)
+    return _detections_from_bins(power_db, r_bin, d_bin, top_vals, cfg, det)
+
+
+def _detections_from_bins(power_db: jax.Array, r_bin: jax.Array,
+                          d_bin: jax.Array, top_vals: jax.Array,
+                          cfg: RadarConfig, det: DetectionConfig
+                          ) -> Detections:
+    """Shared [K]-shaped tail: validity, NMS, sub-bin interpolation,
+    axis conversion (see :func:`detect_peaks`)."""
+    K = det.max_detections
+    R, D = power_db.shape
+    valid = jnp.isfinite(top_vals)
 
     if det.nms_radius > 0:
         # Cross-detection NMS: the top-K list is power-sorted, so detection i
@@ -265,6 +309,7 @@ def _finalize_detections(power_db: jax.Array, is_peak_above: jax.Array,
     d_frac = parabolic_frac((r_bin, d_bin - 1), (r_bin, d_bin), (r_bin, d_bin + 1))
     d_frac = jnp.where((d_bin > 0) & (d_bin < D - 1), d_frac, 0.0)
 
+    ranges = range_axis_m(cfg, R)                           # [R]
     dopplers = doppler_axis_hz(cfg, D)                      # [D]
     dop_step = jnp.float32(cfg.prf) / D
     rng_step = ranges[1] - ranges[0] if R > 1 else jnp.float32(0.0)

@@ -1,0 +1,212 @@
+"""One-pass front-end kernel (ops/frontend_pallas.py): synthesis + noise
+(once) + power + CA-CFAR + local-max + top-K + signatures in one Pallas
+program.
+
+Equivalence tiers:
+- interpret mode (CPU): the kernel's power map must equal the three-stage
+  path's (same math), its in-kernel detection must reproduce
+  ``detect_peaks_from_power`` run on that same map (CFAR box sums ride the
+  MXU as banded matmuls -- rounding-order differences only), and its
+  signatures must match the signature kernel's for every VALID slot
+  (invalid/NMS-suppressed slots carry raw-bin signatures by design; every
+  consumer masks by ``valid``).
+- chip (RADAR_SLAM_TEST_TPU=1): same assertions compiled on real Mosaic,
+  plus noise identity via the ``noise_cube`` validation surface and
+  driver-level trajectory equality one-pass vs three-dispatch.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from radar_slam_tpu.core.config import complete_analysis_config
+from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
+from radar_slam_tpu.ops import frontend_pallas as fe
+from radar_slam_tpu.ops import synthpower_pallas as sp
+from radar_slam_tpu.signal import detect as detect_mod
+from radar_slam_tpu.signal.detect import detect_peaks_from_power
+from radar_slam_tpu.signal.rds import _mix_vector
+from radar_slam_tpu.signal.synth import synthesis_factors
+
+interpret_only = pytest.mark.skipif(
+    jax.devices()[0].platform in ("tpu", "axon"),
+    reason="interpret-mode Pallas hangs on the axon/TPU backend")
+chip_only = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="needs a real TPU (compiled Mosaic + real PRNG)")
+
+
+def _setup(num_frames=3, noise_power=None):
+    cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
+    if noise_power is not None:
+        cfg = dataclasses.replace(
+            cfg, radar=dataclasses.replace(cfg.radar,
+                                           noise_power=noise_power))
+    batches, _ = constant_motion_scene(
+        3, num_frames=num_frames, dt=cfg.frame_dt, v_body=(8.0, 0.5),
+        yaw_rate=0.05,
+        scene=SceneConfig(num_points=64, max_scatterers=cfg.max_scatterers))
+    e_ac, e_fast = jax.jit(jax.vmap(
+        lambda s: synthesis_factors(s, cfg.radar)))(batches)
+    C = cfg.radar.num_chirps
+    S = e_fast.shape[-1]
+    mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
+    seeds = jnp.arange(num_frames, dtype=jnp.int32) + 29
+    sigma = float(np.sqrt(cfg.radar.noise_power))
+    return cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S
+
+
+def _run_frontend(cfg, e_ac, e_fast, mix, seeds, sigma, C, S, clutter=None,
+                  **prec):
+    d = cfg.detection
+    lo, hi = detect_mod.range_gate_bin_interval(cfg.radar, S, d)
+    return fe.scatterer_frontend(
+        e_ac, e_fast, seeds, mix, C, sigma, d.max_detections,
+        train=d.cfar_train_cells, guard=d.guard_cells,
+        neighborhood=d.neighborhood, offset_db=d.cfar_offset_db,
+        threshold_db=d.threshold_db, min_range_bin=lo, max_range_bin=hi,
+        clutter=clutter, clutter_offset_db=d.clutter_offset_db,
+        doppler_window=cfg.doppler_window, **prec)
+
+
+@interpret_only
+def test_frontend_matches_three_stage_interpret():
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup()
+    with pltpu.force_tpu_interpret_mode():
+        p_ref = np.asarray(sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, sigma,
+            doppler_window=cfg.doppler_window, synth_precision="highest",
+            precision_name="highest", doppler_precision="highest"))
+        p, rb, db, vals, sigs = _run_frontend(
+            cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+            synth_precision="highest", precision_name="highest",
+            doppler_precision="highest", sig_precision="highest")
+        p, rb, db, vals, sigs = map(np.asarray, (p, rb, db, vals, sigs))
+
+    # Power map: identical math, identical (degenerate) interpret PRNG.
+    assert np.abs(p - p_ref).max() / p_ref.max() < 1e-5
+
+    # Detection: in-kernel CFAR/top-K == the XLA detector on the SAME map.
+    det_ref = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+        x, cfg.radar, cfg.detection)))(jnp.asarray(p))
+    det_got = jax.jit(jax.vmap(
+        lambda pp, r, dd, v: detect_mod.detections_from_topk(
+            pp, r, dd, v, cfg.radar, cfg.detection)))(
+                jnp.asarray(p), jnp.asarray(rb), jnp.asarray(db),
+                jnp.asarray(vals))
+    assert np.array_equal(np.asarray(det_ref.valid),
+                          np.asarray(det_got.valid))
+    v = np.asarray(det_ref.valid)
+    assert v.any()
+    for field in ("range_bin", "doppler_bin"):
+        assert np.array_equal(np.asarray(getattr(det_ref, field))[v],
+                              np.asarray(getattr(det_got, field))[v]), field
+    np.testing.assert_allclose(np.asarray(det_got.power_db)[v],
+                               np.asarray(det_ref.power_db)[v], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(det_got.range_m)[v],
+                               np.asarray(det_ref.range_m)[v], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(det_got.doppler_hz)[v],
+                               np.asarray(det_ref.doppler_hz)[v], atol=1e-3)
+
+    # Signatures: valid slots match the exact-noise signature kernel run at
+    # the final (zeroed) bins.
+    with pltpu.force_tpu_interpret_mode():
+        sig_ref = np.asarray(sp.scatterer_signatures(
+            e_ac, e_fast, seeds, det_got.range_bin, det_got.doppler_bin,
+            mix, C, sigma, doppler_window=cfg.doppler_window,
+            synth_precision="highest", sig_precision="highest"))
+    assert np.abs(sigs - sig_ref)[v].max() < 2e-4
+
+
+@interpret_only
+def test_frontend_clutter_gate_interpret():
+    """A clutter map equal to the power map itself suppresses everything
+    (nothing exceeds background by the offset)."""
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup(
+        num_frames=2)
+    with pltpu.force_tpu_interpret_mode():
+        p = sp.scatterer_power(
+            e_ac, e_fast, seeds, mix, C, sigma,
+            doppler_window=cfg.doppler_window, synth_precision="highest",
+            precision_name="highest", doppler_precision="highest")
+        _, _, _, vals, _ = _run_frontend(
+            cfg, e_ac, e_fast, mix, seeds, sigma, C, S, clutter=p,
+            synth_precision="highest", precision_name="highest",
+            doppler_precision="highest", sig_precision="highest")
+        _, _, _, vals_free, _ = _run_frontend(
+            cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+            clutter=jnp.zeros_like(p),
+            synth_precision="highest", precision_name="highest",
+            doppler_precision="highest", sig_precision="highest")
+    assert not np.isfinite(np.asarray(vals)).any()
+    # All-zero clutter map is a no-op (threshold_db dominates).
+    assert np.isfinite(np.asarray(vals_free)).any()
+
+
+@chip_only
+def test_frontend_on_chip_matches_three_stage():
+    """Compiled Mosaic: detections and signatures of the one-pass kernel
+    vs the three-dispatch path with the SAME seeds (identical PRNG stream
+    by construction)."""
+    from radar_slam_tpu.utils.host import device_get
+
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup()
+    # precision_name="high": the one-pass kernel computes Z (and hence the
+    # power map) at bf16x3, the three-dispatch power kernel's default was
+    # bf16 -- compare against the equal-precision reference.
+    p_ref = np.asarray(sp.scatterer_power(
+        e_ac, e_fast, seeds, mix, C, sigma,
+        doppler_window=cfg.doppler_window, synth_precision="high",
+        precision_name="high", doppler_precision="high"))
+    p, rb, db, vals, sigs = _run_frontend(
+        cfg, e_ac, e_fast, mix, seeds, sigma, C, S)
+    p = np.asarray(p)
+    assert np.abs(p - p_ref).max() / p_ref.max() < 1e-4
+
+    det_ref = jax.jit(jax.vmap(lambda x: detect_peaks_from_power(
+        x, cfg.radar, cfg.detection)))(jnp.asarray(p_ref))
+    det_got = jax.jit(jax.vmap(
+        lambda pp, r, dd, v: detect_mod.detections_from_topk(
+            pp, r, dd, v, cfg.radar, cfg.detection)))(
+                jnp.asarray(p), rb, db, vals)
+    v = np.asarray(det_ref.valid)
+    assert v.any()
+    assert np.array_equal(v, np.asarray(det_got.valid))
+    assert np.array_equal(np.asarray(det_ref.range_bin)[v],
+                          np.asarray(det_got.range_bin)[v])
+    assert np.array_equal(np.asarray(det_ref.doppler_bin)[v],
+                          np.asarray(det_got.doppler_bin)[v])
+
+    sig_ref = device_get(sp.scatterer_signatures(
+        e_ac, e_fast, seeds, det_got.range_bin, det_got.doppler_bin, mix,
+        C, sigma, doppler_window=cfg.doppler_window))
+    sig_got = device_get(sigs)
+    assert np.abs(sig_got - sig_ref)[v].max() < 1e-3
+
+
+@chip_only
+def test_frontend_driver_equivalence_on_chip():
+    """Batched driver, one-pass vs three-dispatch: same trajectory (the
+    noise realization is identical -- same seeds, same stream)."""
+    from radar_slam_tpu.pipeline import frame as pipe
+
+    cfg3 = dataclasses.replace(complete_analysis_config(),
+                               max_scatterers=128,
+                               frontend_one_pass=False)
+    cfg1 = dataclasses.replace(cfg3, frontend_one_pass=True)
+    batches, gt = constant_motion_scene(
+        11, num_frames=16, dt=cfg1.frame_dt, v_body=(8.0, 0.5),
+        yaw_rate=0.05,
+        scene=SceneConfig(num_points=96, max_scatterers=128))
+    key = jax.random.key(0, impl="rbg")
+    out3 = pipe.process_sequence_batched(batches, key, cfg3)
+    out1 = pipe.process_sequence_batched(batches, key, cfg1)
+    p3 = np.asarray(out3.pose)
+    p1 = np.asarray(out1.pose)
+    np.testing.assert_allclose(p1, p3, atol=5e-3)
+    err = np.linalg.norm(p1[-1, :2] - np.asarray(gt["poses"])[-1, :2])
+    assert err < 0.5, err
