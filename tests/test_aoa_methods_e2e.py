@@ -86,6 +86,55 @@ def test_movers(method):
     assert v_err.max() < 0.15, (method, v_err)
 
 
+@pytest.mark.slow
+def test_music_within_1p3x_of_beamforming():
+    """MUSIC must land within 1.3x of beamforming's position RMSE on the
+    same scene (VERDICT r03 item 3: r03 measured 1.8x, caused by parabolic
+    refinement on the near-pole pseudo-spectrum; the null-function
+    refinement in aoa/estimators.py:estimate_music closes it)."""
+    mm = MismatchConfig(num_movers=3, mover_points=3, mover_oncoming=True,
+                        clutter_per_frame=6)
+    _, _, m_bf, _ = run_scene(
+        with_method(complete_analysis_config(), "beamforming"), mm)
+    _, _, m_mu, _ = run_scene(
+        with_method(complete_analysis_config(), "music"), mm)
+    assert m_mu["position_rmse"] <= max(1.3 * m_bf["position_rmse"], 0.05), (
+        m_mu, m_bf)
+
+
+def test_music_refinement_matches_beamforming_accuracy():
+    """Unit-level guard for the same regression: on noisy single-source
+    signatures the null-function parabola must match beamforming's
+    sub-grid accuracy (for rank-1 the null is an affine transform of the
+    beamforming spectrum), where the old pseudo-spectrum parabola was
+    ~1.6x worse."""
+    from radar_slam_tpu.aoa import estimators as est
+    from radar_slam_tpu.core.geometry import steering_matrix
+    import jax.numpy as jnp
+
+    cfg = complete_analysis_config()
+    rc, aoa = cfg.radar, cfg.aoa
+    rng = np.random.default_rng(0)
+    K = 1024
+    true = rng.uniform(-60, 60, K).astype(np.float32)
+    a = np.asarray(steering_matrix(jnp.deg2rad(jnp.asarray(true)),
+                                   rc.num_antennas, rc.spacing, rc.lambda_c))
+    noise = (rng.standard_normal((K, rc.num_antennas))
+             + 1j * rng.standard_normal((K, rc.num_antennas))) / np.sqrt(2)
+    sig = a * 10.0 + noise                  # 20 dB element SNR
+    sig = jnp.asarray((sig / np.linalg.norm(sig, axis=1, keepdims=True))
+                      .astype(np.complex64))
+
+    def rmse(x):
+        return float(np.sqrt(np.mean((np.asarray(x) - true) ** 2)))
+
+    bf = rmse(est.estimate_beamforming(sig, rc, aoa)[0])
+    mu = rmse(est.estimate_music(sig, rc, aoa, 1,
+                                 forward_backward=aoa.music_fb)[0])
+    assert mu <= 1.05 * bf + 1e-3, (mu, bf)
+
+
+@pytest.mark.slow
 def test_orchestrator_step3_music_parity(tmp_path):
     """The six-step pipeline's step 3 runs MUSIC by default via the CLI
     (run_ego_motion_pipeline.py:183 parity) and recovers the known motion."""
