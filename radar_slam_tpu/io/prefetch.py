@@ -105,6 +105,51 @@ def process_sequence_prefetch(host_scatterers: ScattererBatch,
     return jax.tree.map(lambda x: x[:F], full)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "rig", "rotate_pose"),
+                   donate_argnums=(0,))
+def _rig_chunk_step(state, scatterers: ScattererBatch, keys: jax.Array,
+                    cfg: PipelineConfig, rig, rotate_pose: bool = True):
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    def step(st, inp):
+        sc, k = inp
+        return rigmod.process_scatterers_rig(st, sc, k, cfg, rig,
+                                             rotate_pose)
+    return jax.lax.scan(step, state, (scatterers, keys))
+
+
+def process_sequence_rig_prefetch(host_scatterers: ScattererBatch,
+                                  key: jax.Array, cfg: PipelineConfig, rig,
+                                  chunk: int = 16, rotate_pose: bool = True,
+                                  device: Optional[jax.Device] = None
+                                  ) -> FrameOutput:
+    """``pipeline.rig.process_sequence_rig`` semantics over HOST-resident
+    per-sensor batches [F, B, S] with double-buffered chunk uploads
+    (bit-identical; same key split, state carried across chunks)."""
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    F = _num_frames(host_scatterers)
+    n_pad = ((F + chunk - 1) // chunk) * chunk
+    keys = jax.random.split(key, F)
+    keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], n_pad - F, axis=0)])
+    state = rigmod.init_rig_state(cfg, rig)
+    outs = []
+    for i, sc in enumerate(chunk_uploader(host_scatterers, chunk, device)):
+        state, out = _rig_chunk_step(state, sc,
+                                     keys[i * chunk:(i + 1) * chunk], cfg,
+                                     rig, rotate_pose)
+        outs.append(out)
+    full = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return jax.tree.map(lambda x: x[:F], full)
+
+
+def is_host_resident(tree) -> bool:
+    """True when every leaf is host memory (numpy): the case where the
+    prefetch drivers can hide the upload behind compute."""
+    return all(isinstance(leaf, np.ndarray)
+               for leaf in jax.tree.leaves(tree))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rotate_pose"),
                    donate_argnums=(0,))
 def _signal_chunk_step(state: FrameState, signals: jax.Array,

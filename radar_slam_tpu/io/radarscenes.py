@@ -187,9 +187,15 @@ class RadarScenesLoader:
 
     def frame_scatterer_batch(self, sequence_data: Dict, frame: Dict,
                               max_scatterers: int,
-                              combine_sensors: bool = True) -> ScattererBatch:
-        """One frame's scatterers (all sensors merged) as a padded batch."""
+                              combine_sensors: bool = True,
+                              host: bool = False) -> ScattererBatch:
+        """One frame's scatterers (all sensors merged) as a padded batch.
+
+        ``host=True`` keeps the leaves numpy (no device upload): the
+        prefetch ingest drivers (io/prefetch.py) own the transfer schedule
+        in that case."""
         import jax.numpy as jnp
+        xp = np if host else jnp
 
         cols = {k: [] for k in SCATTERER_FIELDS}
         for sid in frame["sensors"]:
@@ -210,26 +216,28 @@ class RadarScenesLoader:
         valid = np.zeros(max_scatterers, bool)
         valid[:min(n, max_scatterers)] = True
         return ScattererBatch(
-            range_m=jnp.asarray(p(cat["range_sc"])),
-            azimuth_rad=jnp.asarray(p(cat["azimuth_sc"])),
-            rcs_db=jnp.asarray(p(cat["rcs"])),
-            vr=jnp.asarray(p(cat["vr"])),
-            valid=jnp.asarray(valid),
+            range_m=xp.asarray(p(cat["range_sc"])),
+            azimuth_rad=xp.asarray(p(cat["azimuth_sc"])),
+            rcs_db=xp.asarray(p(cat["rcs"])),
+            vr=xp.asarray(p(cat["vr"])),
+            valid=xp.asarray(valid),
         )
 
     def frames_as_batches(self, sequence_data: Dict, frames: List[Dict],
-                          max_scatterers: int):
+                          max_scatterers: int, host: bool = False):
         """Stacked padded batches [F, S] + ground truth arrays.
 
         Returns (ScattererBatch [F, S], gt dict with poses [F, 3],
-        velocities [F, 2] (vx, yaw_rate), timestamps_s [F], valid_gt [F])."""
+        velocities [F, 2] (vx, yaw_rate), timestamps_s [F], valid_gt [F]).
+        ``host=True`` -> numpy leaves for the prefetch ingest drivers."""
         import jax
         import jax.numpy as jnp
 
         per_frame = [self.frame_scatterer_batch(sequence_data, f,
-                                                max_scatterers)
+                                                max_scatterers, host=host)
                      for f in frames]
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+        stack = np.stack if host else jnp.stack
+        batched = jax.tree.map(lambda *xs: stack(xs), *per_frame)
         _, gt_arrays = self._ground_truth_arrays(frames, sequence_data)
         return batched, gt_arrays
 
@@ -252,11 +260,13 @@ class RadarScenesLoader:
         return tuple(ids), tuple(rig)
 
     def frame_scatterer_batch_rig(self, sequence_data: Dict, frame: Dict,
-                                  sensor_ids, max_scatterers: int
-                                  ) -> ScattererBatch:
+                                  sensor_ids, max_scatterers: int,
+                                  host: bool = False) -> ScattererBatch:
         """One frame's scatterers per sensor [B, S], SENSOR-frame polar
-        (no mounting transform -- the rig pipeline owns the geometry)."""
+        (no mounting transform -- the rig pipeline owns the geometry).
+        ``host=True`` -> numpy leaves (prefetch ingest)."""
         import jax.numpy as jnp
+        xp = np if host else jnp
 
         cols = {k: [] for k in SCATTERER_FIELDS}
         for sid in sensor_ids:
@@ -273,26 +283,29 @@ class RadarScenesLoader:
             cols.setdefault("_valid", []).append(
                 np.arange(max_scatterers) < min(n, max_scatterers))
         return ScattererBatch(
-            range_m=jnp.asarray(np.stack(cols["range_sc"])),
-            azimuth_rad=jnp.asarray(np.stack(cols["azimuth_sc"])),
-            rcs_db=jnp.asarray(np.stack(cols["rcs"])),
-            vr=jnp.asarray(np.stack(cols["vr"])),
-            valid=jnp.asarray(np.stack(cols["_valid"])),
+            range_m=xp.asarray(np.stack(cols["range_sc"])),
+            azimuth_rad=xp.asarray(np.stack(cols["azimuth_sc"])),
+            rcs_db=xp.asarray(np.stack(cols["rcs"])),
+            vr=xp.asarray(np.stack(cols["vr"])),
+            valid=xp.asarray(np.stack(cols["_valid"])),
         )
 
     def frames_as_batches_rig(self, sequence_data: Dict, frames: List[Dict],
-                              max_scatterers: int):
+                              max_scatterers: int, host: bool = False):
         """Stacked per-sensor batches [F, B, S] + rig + ground truth.
 
         Returns (ScattererBatch [F, B, S], rig tuple, gt dict as in
-        :meth:`frames_as_batches`)."""
+        :meth:`frames_as_batches`); ``host=True`` -> numpy leaves for the
+        prefetch ingest drivers."""
         import jax
         import jax.numpy as jnp
 
         sensor_ids, rig = self.sequence_rig(sequence_data)
         per_frame = [self.frame_scatterer_batch_rig(
-            sequence_data, f, sensor_ids, max_scatterers) for f in frames]
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+            sequence_data, f, sensor_ids, max_scatterers, host=host)
+            for f in frames]
+        stack = np.stack if host else jnp.stack
+        batched = jax.tree.map(lambda *xs: stack(xs), *per_frame)
         _, gt_arrays = self._ground_truth_arrays(frames, sequence_data)
         return batched, rig, gt_arrays
 

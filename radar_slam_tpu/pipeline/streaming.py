@@ -159,13 +159,37 @@ class StreamingAnalyzer:
 
     def analyze_sequence(self, batches: ScattererBatch,
                          gt_poses: Optional[np.ndarray] = None,
-                         gt_velocities: Optional[np.ndarray] = None) -> Dict:
+                         gt_velocities: Optional[np.ndarray] = None,
+                         prefetch_chunk: int = 16) -> Dict:
         """Run over stacked frame batches [F, S] (host loop, jitted step).
 
         Starts at the current ``frame_idx`` -- 0 for a fresh analyzer, or
-        mid-sequence after :meth:`restore_latest`."""
+        mid-sequence after :meth:`restore_latest`.
+
+        Host-resident input (numpy leaves -- the RadarScenes loader and the
+        synthetic generators both produce it) is ingested through the
+        double-buffered ``io/prefetch.py:chunk_uploader``: chunk i+1's
+        host->HBM DMA is enqueued while chunk i's frames compute, instead
+        of one per-frame implicit upload inside each jitted step (VERDICT
+        r03 item 4; per-frame semantics, results and checkpoint cadence
+        are unchanged -- only the transfer schedule differs)."""
+        from radar_slam_tpu.io.prefetch import chunk_uploader, is_host_resident
+
         F = batches.range_m.shape[0]
-        for i in range(self.frame_idx, F):
+        start = self.frame_idx
+        if is_host_resident(batches) and prefetch_chunk > 0 and start < F:
+            rest = jax.tree.map(lambda x: x[start:], batches)
+            for ci, chunk in enumerate(chunk_uploader(rest, prefetch_chunk)):
+                base = start + ci * prefetch_chunk
+                for j in range(min(prefetch_chunk, F - base)):
+                    i = base + j
+                    self.process_frame(
+                        jax.tree.map(lambda x: x[j], chunk),
+                        gt_pose=None if gt_poses is None else gt_poses[i],
+                        gt_velocity=(None if gt_velocities is None
+                                     else gt_velocities[i]))
+            return self.compute_error_metrics()
+        for i in range(start, F):
             sc = jax.tree.map(lambda x: x[i], batches)
             self.process_frame(
                 sc,

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Measure host->device ingest overlap on the active device (VERDICT
-round-2 item 8: "measured overlap (upload hidden behind compute)").
+round-2 item 8 / r03 item 4: publish the measured overlap table).
 
-Three schedules over the same host-resident ADC-cube sequence:
+Three schedules over the same HOST-resident scatterer sequence (the
+production ingest payload -- the CLI's dataset loaders emit host numpy
+batches and the streaming/rig drivers prefetch them since r04):
 
 - ``resident``: everything pre-uploaded; pure compute (the floor).
 - ``serial``: per chunk, block on the upload, then block on compute --
@@ -13,7 +15,12 @@ Three schedules over the same host-resident ADC-cube sequence:
 overlap_pct = how much of the serial schedule's upload cost the prefetch
 schedule hides: (serial - prefetch) / (serial - resident).
 
-Usage: python scripts/bench_prefetch.py [--frames 128] [--chunk 16]
+The r02-r03 version of this script uploaded complex ADC cubes; on the
+axon backend complex host<->device transfers hang/poison the session
+(utils/host.py module docstring), which is why no measured table ever
+landed in docs/BENCHMARKS.md.  Scatterer batches are all-float.
+
+Usage: python scripts/bench_prefetch.py [--frames 256] [--chunk 16]
 """
 
 import argparse
@@ -31,44 +38,50 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--scatterers", type=int, default=512,
+                    help="static scatterer capacity (upload volume knob; "
+                         "512 = the library default for dense RadarScenes "
+                         "frames)")
     args = ap.parse_args()
 
     from radar_slam_tpu.core.config import complete_analysis_config
     from radar_slam_tpu.io import prefetch
     from radar_slam_tpu.io.synthetic import SceneConfig, constant_motion_scene
-    from radar_slam_tpu.signal.synth import synthesize_frames_batch
+    from radar_slam_tpu.pipeline import frame as frame_mod
 
-    cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
+    cfg = dataclasses.replace(complete_analysis_config(),
+                              max_scatterers=args.scatterers)
     F, C = args.frames, args.chunk
     batches, _ = constant_motion_scene(
         7, num_frames=F, dt=cfg.frame_dt, v_body=(8.0, 0.5), yaw_rate=0.05,
         scene=SceneConfig(num_points=96, max_scatterers=cfg.max_scatterers))
-    signals = synthesize_frames_batch(batches, cfg.radar, jax.random.key(0))
-    host = np.asarray(signals)               # [F, A, Ch, S] c64 on host
-    mb = host.nbytes / 1e6
+    host = jax.tree.map(np.asarray, batches)     # all-float host pytree
+    mb = sum(x.nbytes for x in jax.tree.leaves(host)) / 1e6
+    key = jax.random.key(0, impl="rbg")
+    keys = jax.random.split(key, ((F + C - 1) // C) * C)
 
     def force(out):
-        return float(np.asarray(jax.tree.leaves(out)[0].reshape(-1)[0]))
+        return float(np.asarray(out.pose[-1, 0]))
 
     # Warm compiles on one chunk.
-    from radar_slam_tpu.pipeline import frame as frame_mod
     state0 = frame_mod.init_state(cfg)
-    warm = jax.device_put(host[:C])
-    st, out = prefetch._signal_chunk_step(state0, warm, cfg)
+    warm = jax.device_put(jax.tree.map(lambda x: x[:C], host))
+    _, out = prefetch._chunk_step(state0, warm, keys[:C], cfg)
     force(out)
 
     def run_resident():
         dev = jax.device_put(host)
-        jax.block_until_ready(dev)
+        jax.block_until_ready(jax.tree.leaves(dev))
         t0 = time.perf_counter()
         state = frame_mod.init_state(cfg)
         outs = []
         for i in range(F // C):
-            state, out = prefetch._signal_chunk_step(
-                state, dev[i * C:(i + 1) * C], cfg)
+            state, out = prefetch._chunk_step(
+                state, jax.tree.map(lambda x: x[i * C:(i + 1) * C], dev),
+                keys[i * C:(i + 1) * C], cfg)
             outs.append(out)
         force(outs[-1])
         return time.perf_counter() - t0
@@ -78,9 +91,11 @@ def main():
         state = frame_mod.init_state(cfg)
         outs = []
         for i in range(F // C):
-            buf = jax.device_put(host[i * C:(i + 1) * C])
-            jax.block_until_ready(buf)            # no overlap allowed
-            state, out = prefetch._signal_chunk_step(state, buf, cfg)
+            buf = jax.device_put(
+                jax.tree.map(lambda x: x[i * C:(i + 1) * C], host))
+            jax.block_until_ready(jax.tree.leaves(buf))   # no overlap
+            state, out = prefetch._chunk_step(
+                state, buf, keys[i * C:(i + 1) * C], cfg)
             jax.block_until_ready(out.pose)
             outs.append(out)
         force(outs[-1])
@@ -88,7 +103,7 @@ def main():
 
     def run_prefetch():
         t0 = time.perf_counter()
-        out = prefetch.process_signal_sequence_prefetch(host, cfg, chunk=C)
+        out = prefetch.process_sequence_prefetch(host, key, cfg, chunk=C)
         force(out)
         return time.perf_counter() - t0
 

@@ -5,6 +5,7 @@ pipeline).  Overlap itself is measured on the chip
 chunking, edge-padding of the last chunk, PRNG key alignment, and state
 carry across chunk boundaries."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def _scene(frames=11):
     return b, gt
 
 
+@pytest.mark.slow
 def test_prefetch_scatterers_bitwise_equal():
     """Chunked (uneven last chunk) == one-shot scan, every output leaf."""
     batches, _ = _scene(11)                   # 11 frames, chunk 4 -> pad
@@ -45,6 +47,7 @@ def test_prefetch_scatterers_bitwise_equal():
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
+@pytest.mark.slow
 def test_prefetch_signals_bitwise_equal():
     from radar_slam_tpu.signal.synth import synthesize_frames_batch
 
@@ -66,3 +69,24 @@ def test_chunk_uploader_shapes_and_count():
     # Edge-repeat padding on the tail.
     np.testing.assert_array_equal(np.asarray(chunks[2]["a"])[-1],
                                   host["a"][-1])
+
+
+@pytest.mark.slow
+def test_prefetch_rig_bitwise_equal():
+    """Rig prefetch driver (r04: the CLI dataset rig path ingests through
+    it) == one-shot process_sequence_rig, bitwise."""
+    from radar_slam_tpu.io.synthetic import constant_motion_scene_rig
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    rig = ((1.8, 0.9, 0.4), (1.8, -0.9, -0.4))
+    batches, _ = constant_motion_scene_rig(
+        7, num_frames=11, dt=CFG.frame_dt, v_body=(5.0, 0.3), yaw_rate=0.05,
+        rig=rig,
+        scene=SceneConfig(num_points=48, max_scatterers=CFG.max_scatterers))
+    key = jax.random.key(4)
+    want = rigmod.process_sequence_rig(batches, key, CFG, rig)
+    host = jax.tree.map(np.asarray, batches)
+    got = prefetch.process_sequence_rig_prefetch(host, key, CFG, rig,
+                                                 chunk=4)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
