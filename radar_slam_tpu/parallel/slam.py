@@ -47,6 +47,49 @@ def refine_sequence_output(out, dt: float,
         lc_cfg=lc_cfg, mesh=mesh, solver=solver, proposer=proposer)
 
 
+def propose_weighted_loops(frame_points, frame_valid, open_poses,
+                           lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+                           proposer: str = "pose"):
+    """Retrieve loop-closure candidates for ONE sequence and convert each
+    into a weighted factor.
+
+    Returns (raw candidate dicts, [(i, j, delta [3], info [3]), ...]).
+    Shared by :func:`refine_trajectory` and the config-5 batch round trip
+    (``multiseq.refine_sequences_mesh``)."""
+    F = len(open_poses)
+    if proposer == "scancontext":
+        from radar_slam_tpu.parallel.scancontext import find_loop_closures_sc
+        loops = find_loop_closures_sc(frame_points, frame_valid,
+                                      open_poses[:F], lc_cfg)
+    elif proposer == "pose":
+        loops = find_loop_closures(frame_points, frame_valid,
+                                   open_poses[:F], lc_cfg)
+    else:
+        raise ValueError(f"Unknown loop-closure proposer: {proposer}")
+    # Lever arm for the angular information: a yaw error d_theta moves a
+    # point at radius r by r*d_theta, so the registration's positional
+    # variance maps to an angular variance of var / r_bar^2 (r_bar =
+    # mean radius of the scene points actually matched).
+    pv = np.asarray(frame_valid)
+    pr = np.linalg.norm(np.asarray(frame_points), axis=-1)
+    weighted = []
+    for lc in loops:
+        # Information from the ICP fit quality: var ~ rmse^2 / inliers
+        # (standard error of the registration), capped at info_scale.
+        # A tight revisit (rmse ~ mm) gets the full weight; a long-
+        # baseline noisy match constrains the graph only as much as its
+        # measurement supports instead of overruling good odometry.
+        var = max(lc["rmse"] ** 2 / max(lc["inliers"], 1),
+                  1.0 / lc_cfg.info_scale)
+        vj = pv[lc["j"]]
+        r_bar = float(pr[lc["j"]][vj].mean()) if vj.any() else 1.0
+        var_theta = max(var / max(r_bar, 1.0) ** 2,
+                        1.0 / lc_cfg.info_scale)
+        info = jnp.array([1.0 / var, 1.0 / var, 1.0 / var_theta])
+        weighted.append((lc["i"], lc["j"], np.asarray(lc["delta"]), info))
+    return loops, weighted
+
+
 def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                       success: np.ndarray, dt: float,
                       frame_points: Optional[jax.Array] = None,
@@ -102,38 +145,11 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
 
     loops = []
     if frame_points is not None:
-        if proposer == "scancontext":
-            from radar_slam_tpu.parallel.scancontext import \
-                find_loop_closures_sc
-            loops = find_loop_closures_sc(frame_points, frame_valid,
-                                          open_poses[:F], lc_cfg)
-        elif proposer == "pose":
-            loops = find_loop_closures(frame_points, frame_valid,
-                                       open_poses[:F], lc_cfg)
-        else:
-            raise ValueError(f"Unknown loop-closure proposer: {proposer}")
-        # Lever arm for the angular information: a yaw error d_theta moves a
-        # point at radius r by r*d_theta, so the registration's positional
-        # variance maps to an angular variance of var / r_bar^2 (r_bar =
-        # mean radius of the scene points actually matched).
-        pv = np.asarray(frame_valid)
-        pr = np.linalg.norm(np.asarray(frame_points), axis=-1)
-        for slot, lc in enumerate(loops[:cap]):
-            # Information from the ICP fit quality: var ~ rmse^2 / inliers
-            # (standard error of the registration), capped at info_scale.
-            # A tight revisit (rmse ~ mm) gets the full weight; a long-
-            # baseline noisy match constrains the graph only as much as its
-            # measurement supports instead of overruling good odometry.
-            var = max(lc["rmse"] ** 2 / max(lc["inliers"], 1),
-                      1.0 / lc_cfg.info_scale)
-            vj = pv[lc["j"]]
-            r_bar = float(pr[lc["j"]][vj].mean()) if vj.any() else 1.0
-            var_theta = max(var / max(r_bar, 1.0) ** 2,
-                            1.0 / lc_cfg.info_scale)
-            info = jnp.array([1.0 / var, 1.0 / var, 1.0 / var_theta])
-            graph = posegraph.add_loop_closure(
-                graph, slot, lc["i"], lc["j"],
-                jnp.asarray(lc["delta"]), info)
+        loops, weighted = propose_weighted_loops(
+            frame_points, frame_valid, open_poses[:F], lc_cfg, proposer)
+        for slot, (i, j, delta, info) in enumerate(weighted[:cap]):
+            graph = posegraph.add_loop_closure(graph, slot, i, j,
+                                               jnp.asarray(delta), info)
 
     if solver == "schur":
         poses = graph.poses

@@ -24,6 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_smoke():
     coord = f"127.0.0.1:{_free_port()}"
     nproc = 2
@@ -46,6 +47,7 @@ def test_two_process_distributed_smoke():
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_OK pid={pid}" in out, out[-3000:]
         assert "SOLVERS_OK" in out, out[-3000:]
+        assert "MESH_SCAN_OK" in out, out[-3000:]
     # Both processes computed the same global psum.
     psums = {line.split("psum=")[1].split()[0]
              for out in outs for line in out.splitlines()
