@@ -38,6 +38,7 @@ from radar_slam_tpu.core.types import ScattererBatch, Targets
 from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.pose import planar_pose_step
 from radar_slam_tpu.motion.velocity import solve_velocity
+from radar_slam_tpu.pipeline import frame as frame_mod
 from radar_slam_tpu.pipeline.frame import FrameOutput, FrameState
 from radar_slam_tpu.signal import detect as detect_mod
 from radar_slam_tpu.signal.detect import detect_peaks, detect_peaks_from_power
@@ -125,6 +126,31 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
     mount_xy, mount_yaw = rig_arrays(rig)
     keys = jax.random.split(key, B)
 
+    if (cfg.fft_mode == "fused" and cfg.synth_in_kernel
+            and cfg.chirp_subset is None and frame_mod._one_pass_active(cfg)):
+        # One-pass kernel front end over the SENSOR axis (the first
+        # kernel-accelerated rig path; through r03 the rig always
+        # materialized per-sensor ADC cubes).  Per-sensor noise seeds come
+        # from the same per-sensor key split as the materialized path.
+        seeds = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32)
+                         .astype(jnp.int32))(keys)
+        p_b, det_b, sigs_b = frame_mod._onepass_frontend(
+            scatterers, seeds, cfg, clutter=state.clutter)
+
+        def aoa_tail(det, sigs, sm, cl, p):
+            cl = (detect_mod.clutter_map_update_from_power(
+                cl, p, cfg.detection.clutter_map_alpha)
+                if cl is not None else None)
+            targets, sm = aoa_robust.process_targets_robust(
+                None, det, sm, cfg.radar, cfg.aoa, method=cfg.aoa.method,
+                signatures=sigs, doppler_bins=p.shape[-1])
+            return targets, sm, cl
+
+        targets_b, smoother, clutter = jax.vmap(aoa_tail)(
+            det_b, sigs_b, state.smoother, state.clutter, p_b)
+        return _rig_tail(state, targets_b, smoother, clutter, cfg, rig,
+                         mount_xy, mount_yaw, rotate_pose)
+
     def per_sensor(sc, k, sm, cl):
         sig = synthesize_frame(sc, cfg.radar, k, fidelity=cfg.synth_fidelity)
         if cfg.fft_mode == "fused":
@@ -165,6 +191,16 @@ def process_scatterers_rig(state: FrameState, scatterers: ScattererBatch,
 
     targets_b, smoother, clutter = jax.vmap(per_sensor)(
         scatterers, keys, state.smoother, state.clutter)         # [B, K, ...]
+    return _rig_tail(state, targets_b, smoother, clutter, cfg, rig,
+                     mount_xy, mount_yaw, rotate_pose)
+
+
+def _rig_tail(state, targets_b, smoother, clutter, cfg, rig, mount_xy,
+              mount_yaw, rotate_pose):
+    """Stateful tail shared by the one-pass and materialized rig steps:
+    vehicle-frame merge, association, 6-DoF solve, pose, state update."""
+    B = len(rig)
+    K = cfg.detection.max_detections
     targets_b = jax.vmap(_to_vehicle_frame)(targets_b, mount_xy, mount_yaw)
 
     # Merge sensors: [B, K] -> [B*K]; static block layout.

@@ -210,3 +210,34 @@ def test_frontend_driver_equivalence_on_chip():
     np.testing.assert_allclose(p1, p3, atol=5e-3)
     err = np.linalg.norm(p1[-1, :2] - np.asarray(gt["poses"])[-1, :2])
     assert err < 0.5, err
+
+
+@chip_only
+def test_frontend_rig_equivalence_on_chip():
+    """Rig driver, one-pass vs materialized per-sensor cubes, sigma = 0
+    (the two paths draw DIFFERENT noise generators, so equality is only
+    defined noiselessly; tolerance covers the f32 carrier-rounding
+    realization difference between jit programs)."""
+    from radar_slam_tpu.io.synthetic import constant_motion_scene_rig
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    base = dataclasses.replace(
+        complete_analysis_config(), max_scatterers=128,
+        radar=dataclasses.replace(complete_analysis_config().radar,
+                                  noise_power=0.0))
+    rig = ((1.8, 0.9, 0.4), (1.8, -0.9, -0.4))
+    batches, gt = constant_motion_scene_rig(
+        7, num_frames=10, dt=base.frame_dt, v_body=(8.0, 0.5),
+        yaw_rate=0.1, rig=rig,
+        scene=SceneConfig(num_points=96, max_scatterers=128))
+    key = jax.random.key(0, impl="rbg")
+    out1 = rigmod.process_sequence_rig(
+        batches, key, dataclasses.replace(base, frontend_one_pass=True),
+        rig)
+    out3 = rigmod.process_sequence_rig(
+        batches, key, dataclasses.replace(base, frontend_one_pass=False),
+        rig)
+    p1, p3 = np.asarray(out1.pose), np.asarray(out3.pose)
+    np.testing.assert_allclose(p1, p3, atol=5e-2)
+    err = np.linalg.norm(p1[-1, :2] - np.asarray(gt["poses"])[-1, :2])
+    assert err < 0.5, err
