@@ -172,6 +172,36 @@ def _band(n: int, half: int) -> jax.Array:
     return (jnp.abs(i[:, None] - i[None, :]) <= half).astype(jnp.float32)
 
 
+def topk_two_stage(score: jax.Array, K: int,
+                   seg: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-K over the last axis via segmented selection.
+
+    ``lax.top_k`` on [F, 12800] lowers to a full sort -- traced at
+    880 us/64-frame batch, nearly the cost of the whole front-end kernel
+    (``scripts/trace_batched.py``, r04).  Splitting into ``seg``-wide
+    segments, taking top-K per segment, then top-K of the G*K segment
+    winners is EXACT for K <= seg (at most K global winners exist, so no
+    segment can hide one below its own top-K) and preserves lax.top_k's
+    tie order: within a segment ties keep index order, and across
+    segments a stage-2 tie resolves to the smaller (segment, rank) pair,
+    i.e. the smaller global index.
+
+    Returns (values [F, K], flat indices [F, K])."""
+    if K > seg:
+        return jax.lax.top_k(score, K)
+    F, N = score.shape
+    G = -(-N // seg)
+    if G * seg != N:
+        score = jnp.pad(score, ((0, 0), (0, G * seg - N)),
+                        constant_values=-jnp.inf)
+    v1, i1 = jax.lax.top_k(score.reshape(F, G, seg), K)     # [F, G, K]
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (F, G, K), 1) * seg
+            + i1.astype(jnp.int32))
+    v2, i2 = jax.lax.top_k(v1.reshape(F, G * K), K)
+    idx = jnp.take_along_axis(gidx.reshape(F, G * K), i2, axis=1)
+    return v2, idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("C", "K", "sigma", "dc_removal", "doppler_window",
@@ -300,6 +330,11 @@ def scatterer_frontend(
 
     # ---- selection + signatures in XLA on the kernel's outputs ----------
     p_lin = jnp.swapaxes(p_ds, -1, -2)                      # [F, R, D]
+    # Selection: plain lax.top_k.  Its full-sort lowering traced at
+    # ~880 us/64f, but the segmented-exact alternative (topk_two_stage,
+    # kept below with its exactness test) measured SLOWER end to end
+    # (15.8k vs 16.3k fps) -- the two chained sorts pipeline worse than
+    # one; a measured negative result, not an oversight.
     score = jnp.swapaxes(score_ds, -1, -2).reshape(F, S * C)
     vals, idx = jax.lax.top_k(score, K)                     # [F, K]
     rb = (idx // C).astype(jnp.int32)
@@ -310,9 +345,14 @@ def scatterer_frontend(
     # signature[f, k, a] = sum_c w_dop[c, f(d_k)] * Z[f, a*C+c, r_k]
     # -- EXACTLY detection_signatures' math, with Z's columns gathered
     # instead of recomputed (the Doppler column d of doppler_dft_matrix is
-    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).
-    z = (zr + 1j * zi).astype(jnp.complex64)                # [F, AC, S]
-    zcols = jnp.take_along_axis(z, rb[:, None, :], axis=2)  # [F, AC, K]
+    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).  Gather
+    # the re/im planes separately and assemble complex on the [AC, K]
+    # slice: materializing complex Z first cost two full-plane copies
+    # (~180 us/64f, scripts/trace_batched.py).
+    rbk = rb[:, None, :]
+    zcols = (jnp.take_along_axis(zr, rbk, axis=2)
+             + 1j * jnp.take_along_axis(zi, rbk, axis=2)
+             ).astype(jnp.complex64)                        # [F, AC, K]
     zcols = zcols.reshape(F, A, C, K)
     c_idx = jnp.arange(C, dtype=jnp.float32)
     f_shift = jnp.mod(db - C // 2, C).astype(jnp.float32)   # [F, K]

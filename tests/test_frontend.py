@@ -241,3 +241,21 @@ def test_frontend_rig_equivalence_on_chip():
     np.testing.assert_allclose(p1, p3, atol=5e-2)
     err = np.linalg.norm(p1[-1, :2] - np.asarray(gt["poses"])[-1, :2])
     assert err < 0.5, err
+
+
+def test_topk_two_stage_equals_lax_topk():
+    """Segmented selection (the trace showed lax.top_k lowering to a full
+    12,800-sort at ~880 us/64f) must be EXACT, including lax.top_k's
+    smaller-index tie order and -inf fills."""
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        N = int(rng.choice([12800, 777, 130, 64]))
+        x = rng.choice([-np.inf, -1e30, 0.5, 1.0, 3.25, 7.0],
+                       size=(3, N), p=[.3, .3, .1, .1, .1, .1]
+                       ).astype(np.float32)
+        x += rng.standard_normal((3, N)).astype(np.float32) * (x > -1e29)
+        K = int(rng.choice([5, 50, 64]))
+        v1, i1 = jax.lax.top_k(jnp.asarray(x), K)
+        v2, i2 = fe.topk_two_stage(jnp.asarray(x), K)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
