@@ -66,8 +66,12 @@ def _refine_peak(spectrum: jax.Array, grid_deg: jax.Array) -> jax.Array:
     idx = jnp.argmax(spectrum, axis=-1)
     im = jnp.clip(idx - 1, 0, g - 1)
     ip = jnp.clip(idx + 1, 0, g - 1)
-    take = lambda i: jnp.take_along_axis(spectrum, i[..., None], axis=-1)[..., 0]
-    ym, y0, yp = take(im), take(idx), take(ip)
+    # One batched gather for all three taps: each [K]-shaped gather op
+    # costs ~35-50 us fixed overhead on TPU (trace-measured), so three
+    # separate take_along_axis calls tripled the price of 64 values.
+    taps = jnp.take_along_axis(spectrum, jnp.stack([im, idx, ip], axis=-1),
+                               axis=-1)
+    ym, y0, yp = taps[..., 0], taps[..., 1], taps[..., 2]
     denom = ym - 2.0 * y0 + yp
     delta = jnp.where(jnp.abs(denom) > 1e-12,
                       0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
@@ -158,6 +162,24 @@ def signature_covariances(signatures: jax.Array,
     if diagonal_load:
         R = R + diagonal_load * jnp.eye(R.shape[-1], dtype=R.dtype)
     return R
+
+
+def rank1_eigenvalues(signatures: jax.Array) -> jax.Array:
+    """Analytic DESCENDING eigenvalues [K, A] of the rank-1 single-snapshot
+    covariance R = s s^H: (||s||^2, 0, ..., 0).
+
+    The MDL model-order stage only consumes eigenvalues, and the
+    production front end builds R from one snapshot (reference parity:
+    angle_estimation.py:127) -- so the batched 8x8 ``eigh`` the pipeline
+    ran for it computed exactly this constant spectrum the slow way
+    (traced at 1,140 us/64-frame batch, the single largest op after the
+    front-end kernel; scripts/trace_batched.py).  ``mdl_model_order``'s
+    rank-1 guard yields the identical model order either way; the
+    analytic form is exact where eigh carries ~1e-8 float noise."""
+    K, A = signatures.shape
+    p = jnp.sum(jnp.abs(signatures) ** 2, axis=-1)
+    return jnp.concatenate(
+        [p[:, None], jnp.zeros((K, A - 1), p.dtype)], axis=1)
 
 
 def eigendecompose(R: jax.Array):

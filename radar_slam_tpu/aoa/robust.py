@@ -59,9 +59,11 @@ def process_targets_robust(rds: jax.Array | None, detections: Detections,
     if signatures is None:
         signatures = extract_spatial_signatures(rds, detections)    # [K, A]
 
-    # Multipath / model order from covariance eigenvalues (:140-218).
-    R = estimators.signature_covariances(signatures)
-    eigvals, _ = estimators.eigendecompose(R)
+    # Multipath / model order from covariance eigenvalues (:140-218);
+    # rank-1 analytic spectrum instead of a batched eigh (see
+    # estimators.rank1_eigenvalues -- MDL consumes eigenvalues only, and
+    # the single-snapshot covariance's spectrum is (||s||^2, 0, ..., 0)).
+    eigvals = estimators.rank1_eigenvalues(signatures)
     num_sources, is_multipath, _snr = conf_mod.mdl_model_order(eigvals)
 
     # Initial angle estimate (reference uses beamforming in the robust path,

@@ -199,20 +199,28 @@ def smooth_windowed(det_keys: jax.Array, angles_deg: jax.Array,
         found |= new
 
     # --- follow the chain W-1 hops, gathering raw (angle, conf) entries ----
+    # All per-hop lookups (angle, confidence, predecessor pointers, found
+    # flag) ride ONE stacked gather: each separate fancy-indexing op costs
+    # ~35-50 us of fixed TPU gather overhead (scripts/trace_batched.py),
+    # and the scalar channels round-trip f32 exactly (values < 2^24).
+    src = jnp.stack([angles_deg, confidences,
+                     pred_f.astype(jnp.float32),
+                     pred_j.astype(jnp.float32),
+                     found.astype(jnp.float32)], axis=-1)    # [F, K, 5]
     entries_ang = [angles_deg]           # newest first
     entries_conf = [confidences]
     entries_ok = [jnp.ones((F, K), bool)]
     cur_f, cur_j, cur_ok = pred_f, pred_j, found
     for w in range(1, W):
         cf = jnp.clip(cur_f, 0, F - 1)
-        entries_ang.append(angles_deg[cf, cur_j])
-        entries_conf.append(confidences[cf, cur_j])
+        g = src[cf, cur_j]                                   # one gather
+        entries_ang.append(g[..., 0])
+        entries_conf.append(g[..., 1])
         entries_ok.append(cur_ok)
         if w < W - 1:
-            nf = pred_f[cf, cur_j]
-            nj = pred_j[cf, cur_j]
-            cur_ok = cur_ok & found[cf, cur_j]
-            cur_f, cur_j = nf, nj
+            cur_ok = cur_ok & (g[..., 4] > 0)
+            cur_f = g[..., 2].astype(jnp.int32)
+            cur_j = g[..., 3].astype(jnp.int32)
 
     ang = jnp.stack(entries_ang, axis=-1)        # [F, K, W] newest first
     cnf = jnp.stack(entries_conf, axis=-1)

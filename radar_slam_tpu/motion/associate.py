@@ -105,12 +105,21 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
 
     # Temporal phase diff on reference antenna 0:
     # angle(s_t[0] * conj(s_{t-1}[0]))  (velocity_solver_improved.py:150).
+    # Every previous-frame lookup (signature, position, confidence) rides
+    # ONE stacked gather at prev_idx -- separate fancy-indexing ops cost
+    # ~35-50 us each in fixed TPU gather overhead
+    # (scripts/trace_batched.py).
+    prev_sig0 = previous.spatial_signature[:, 0]
+    prev_stack = jnp.concatenate(
+        [jnp.real(prev_sig0)[:, None], jnp.imag(prev_sig0)[:, None],
+         previous.position, previous.confidence[:, None]], axis=-1)  # [K, 6]
+    g = prev_stack[prev_idx]
     s_cur = current.spatial_signature[:, 0]
-    s_prev = previous.spatial_signature[prev_idx, 0]
+    s_prev = (g[:, 0] + 1j * g[:, 1]).astype(jnp.complex64)
     phase = jnp.angle(s_cur * jnp.conj(s_prev))
 
     dt = jnp.maximum(jnp.float32(dt), 1e-6)
-    apparent_v = (current.position - previous.position[prev_idx]) / dt
+    apparent_v = (current.position - g[:, 2:5]) / dt
 
     el = (current.elevation_rad if current.elevation_rad is not None
           else jnp.zeros_like(current.azimuth_rad))
@@ -128,7 +137,6 @@ def associate_targets(current: Targets, previous: Targets, dt: float | jax.Array
         direction=direction,
         vr_mps=current.vr_mps,
         apparent_velocity=jnp.where(hit[:, None], apparent_v, 0.0),
-        weight=jnp.where(hit, current.confidence * previous.confidence[prev_idx],
-                         0.0),
+        weight=jnp.where(hit, current.confidence * g[:, 5], 0.0),
         valid=hit,
     )

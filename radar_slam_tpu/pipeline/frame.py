@@ -354,8 +354,9 @@ def _aoa_features(det, sigs, cfg: PipelineConfig):
     K = det.range_bin.shape[0]
     keep = (det.valid & (det.power_db > cfg.aoa.power_filter_db)
             & (jnp.arange(K) < cfg.aoa.max_targets))
-    R = estimators.signature_covariances(sigs)
-    eigvals, _ = estimators.eigendecompose(R)
+    # Rank-1 analytic spectrum instead of a 32k-batch eigh (see
+    # estimators.rank1_eigenvalues; MDL consumes eigenvalues only).
+    eigvals = estimators.rank1_eigenvalues(sigs)
     num_sources, is_multi, _ = conf_mod.mdl_model_order(eigvals)
     angles_deg, el_deg, _ = estimators.estimate_angles_2d(
         sigs, cfg.radar, cfg.aoa, method=cfg.aoa.method,

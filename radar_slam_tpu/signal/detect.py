@@ -294,27 +294,43 @@ def _detections_from_bins(power_db: jax.Array, r_bin: jax.Array,
     # at 64 chirps), while the cross-frame phase observable wraps every
     # lambda/(4 dt) ~ 2 cm/s; sub-bin interpolation bridges that gap.  The
     # reference reports integer bins only (dechirp.py:258-271).
-    def parabolic_frac(im, i0, ip):
-        ym = power_db[jnp.clip(im[0], 0, R - 1), jnp.clip(im[1], 0, D - 1)]
-        y0 = power_db[i0[0], i0[1]]
-        yp = power_db[jnp.clip(ip[0], 0, R - 1), jnp.clip(ip[1], 0, D - 1)]
+    # All five map taps ride ONE flat gather: each separate fancy-indexing
+    # expression lowered to its own ~35-50 us TPU gather op (fixed overhead
+    # regardless of the 64 gathered values; scripts/trace_batched.py).
+    def fidx(rr, dd):
+        return jnp.clip(rr, 0, R - 1) * D + jnp.clip(dd, 0, D - 1)
+
+    taps = jnp.take(power_db.reshape(-1),
+                    jnp.stack([fidx(r_bin - 1, d_bin), fidx(r_bin, d_bin),
+                               fidx(r_bin + 1, d_bin),
+                               fidx(r_bin, d_bin - 1),
+                               fidx(r_bin, d_bin + 1)], axis=-1),
+                    axis=0)                                 # [K, 5]
+    y0 = taps[:, 1]
+
+    def parabolic_frac(ym, yp):
         denom = ym - 2.0 * y0 + yp
         frac = jnp.where(jnp.abs(denom) > 1e-9,
                          0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-9,
                                                      denom, 1.0), 0.0)
         return jnp.clip(frac, -0.5, 0.5)
 
-    r_frac = parabolic_frac((r_bin - 1, d_bin), (r_bin, d_bin), (r_bin + 1, d_bin))
+    r_frac = parabolic_frac(taps[:, 0], taps[:, 2])
     r_frac = jnp.where((r_bin > 0) & (r_bin < R - 1), r_frac, 0.0)
-    d_frac = parabolic_frac((r_bin, d_bin - 1), (r_bin, d_bin), (r_bin, d_bin + 1))
+    d_frac = parabolic_frac(taps[:, 3], taps[:, 4])
     d_frac = jnp.where((d_bin > 0) & (d_bin < D - 1), d_frac, 0.0)
 
-    ranges = range_axis_m(cfg, R)                           # [R]
-    dopplers = doppler_axis_hz(cfg, D)                      # [D]
+    # Axis lookups computed arithmetically instead of gathered from the
+    # [R]/[D] axis tables: both axes are affine in the bin index with the
+    # SAME f32 operations the tables are built from (range_axis_m is
+    # arange(R) * step; doppler_axis_hz is (d - D//2) * (1/(D*pri)) for
+    # even D), so values are bit-equal and two more gathers disappear.
+    ranges = range_axis_m(cfg, R)       # table kept for the step; no gather
     dop_step = jnp.float32(cfg.prf) / D
     rng_step = ranges[1] - ranges[0] if R > 1 else jnp.float32(0.0)
-    doppler_hz = dopplers[d_bin] + d_frac * dop_step
-    range_m = ranges[r_bin] + r_frac * rng_step
+    doppler_hz = ((d_bin - D // 2).astype(jnp.float32)
+                  * jnp.float32(1.0 / (D * cfg.pri)) + d_frac * dop_step)
+    range_m = r_bin.astype(jnp.float32) * rng_step + r_frac * rng_step
     return Detections(
         range_bin=jnp.where(valid, r_bin, 0),
         doppler_bin=jnp.where(valid, d_bin, 0),

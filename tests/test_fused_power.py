@@ -20,6 +20,13 @@ from radar_slam_tpu.signal.rds import (detection_signatures,
                                        range_doppler_spectrum, rds_power)
 
 
+
+# Interpret-mode Pallas hangs on the axon/TPU backend (ADVICE r03 applied
+# repo-wide in r04): skip these under RADAR_SLAM_TEST_TPU=1.
+interpret_only = pytest.mark.skipif(
+    jax.devices()[0].platform in ("tpu", "axon"),
+    reason="interpret-mode Pallas hangs on the axon/TPU backend")
+
 def _cfg():
     return complete_analysis_config()
 
@@ -47,6 +54,7 @@ def test_rds_power_xla_matches_fft_power():
 
 
 @pytest.mark.slow
+@interpret_only
 def test_power_kernel_matches_reference_interpret():
     """Pallas kernel (interpret mode) vs the f32 XLA oracle; bf16 default
     precision must stay inside the CFAR-safe tolerance, 'high' must be
@@ -141,6 +149,7 @@ def test_fused_pipeline_end_to_end_matches_fft(driver):
 
 
 @pytest.mark.slow
+@interpret_only
 def test_wide_doppler_layout_matches_loop_interpret():
     """The 'wide' single-matmul Doppler layout is a pure re-association of
     the per-antenna loop: power maps must agree to float tolerance at

@@ -9,6 +9,13 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_slam_tpu.ops import cfar_pallas, dechirp_pallas
 
 
+
+# Interpret-mode Pallas hangs on the axon/TPU backend (ADVICE r03 applied
+# repo-wide in r04): skip these under RADAR_SLAM_TEST_TPU=1.
+interpret_only = pytest.mark.skipif(
+    jax.devices()[0].platform in ("tpu", "axon"),
+    reason="interpret-mode Pallas hangs on the axon/TPU backend")
+
 def rand_complex(key, shape, dtype=jnp.complex64):
     kr, ki = jax.random.split(key)
     return (jax.random.normal(kr, shape) +
@@ -16,6 +23,7 @@ def rand_complex(key, shape, dtype=jnp.complex64):
 
 
 @pytest.mark.parametrize("dc", [True, False])
+@interpret_only
 def test_dechirp_kernel_matches_reference(dc):
     sig = rand_complex(jax.random.key(0), (8, 32, 400))
     mix = rand_complex(jax.random.key(1), (400,))
@@ -26,6 +34,7 @@ def test_dechirp_kernel_matches_reference(dc):
                                rtol=1e-5, atol=1e-5)
 
 
+@interpret_only
 def test_dechirp_kernel_odd_shapes():
     sig = rand_complex(jax.random.key(2), (3, 5, 173))
     mix = rand_complex(jax.random.key(3), (173,))
@@ -46,6 +55,7 @@ def make_rds_with_peaks(key):
 
 
 @pytest.mark.parametrize("train,guard", [(0, 0), (8, 2)])
+@interpret_only
 def test_cfar_kernel_matches_reference(train, guard):
     rds = make_rds_with_peaks(jax.random.key(4))
     want_pdb, want_mask = cfar_pallas.cfar_mask_reference(

@@ -29,6 +29,13 @@ CFG = RadarConfig(noise_power=1e-6)
 DET = DetectionConfig(threshold_db=-12.0, max_detections=16)
 
 
+
+# Interpret-mode Pallas hangs on the axon/TPU backend (ADVICE r03 applied
+# repo-wide in r04): skip these under RADAR_SLAM_TEST_TPU=1.
+interpret_only = pytest.mark.skipif(
+    jax.devices()[0].platform in ("tpu", "axon"),
+    reason="interpret-mode Pallas hangs on the axon/TPU backend")
+
 def make_scatterers(rows, size=8):
     n = len(rows)
     pad = size - n
@@ -151,6 +158,7 @@ def test_fft_mode_matmul_matches_fft():
         assert rel < 1e-3, rel
 
 
+@interpret_only
 def test_fft_mode_pallas_matches_fft():
     """Fused single-kernel Pallas RDS must match the XLA FFT path
     (interpret mode on CPU; compiled path covered by the TPU bench)."""

@@ -197,6 +197,14 @@ def test_driver_phase_a_cube_free_matches_standard():
     from radar_slam_tpu.io.synthetic import constant_motion_scene
     from radar_slam_tpu.pipeline import frame as pipe
 
+    # This compile is the heaviest in the suite and lands after ~180
+    # accumulated executables; XLA:CPU's compiler segfaulted here twice at
+    # the exact same full-suite position (r04, stack: backend_compile_and
+    # _load) while the test passes in any shorter run.  Dropping the
+    # executable/tracing caches first keeps the compiler inside whatever
+    # resource pool it was exhausting.
+    jax.clear_caches()
+
     cfg = dataclasses.replace(
         complete_analysis_config(), max_scatterers=128, fft_mode="fused",
         radar=dataclasses.replace(complete_analysis_config().radar,
