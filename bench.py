@@ -281,7 +281,7 @@ def main():
         np.asarray(out_music.pose), gt_np)["position_rmse"]), 3)
     music_ok = music_rmse <= 0.30               # r04 ~0.21 after null-fn fix
 
-    scan_ok = fps_scan >= 3000.0                # r03 3,807
+    scan_ok = fps_scan >= 3500.0                # r03 3,807; r04 4,056
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
             and adversarial_ok and music_ok and scan_ok)
 

@@ -66,12 +66,15 @@ def _refine_peak(spectrum: jax.Array, grid_deg: jax.Array) -> jax.Array:
     idx = jnp.argmax(spectrum, axis=-1)
     im = jnp.clip(idx - 1, 0, g - 1)
     ip = jnp.clip(idx + 1, 0, g - 1)
-    # One batched gather for all three taps: each [K]-shaped gather op
-    # costs ~35-50 us fixed overhead on TPU (trace-measured), so three
-    # separate take_along_axis calls tripled the price of 64 values.
-    taps = jnp.take_along_axis(spectrum, jnp.stack([im, idx, ip], axis=-1),
-                               axis=-1)
-    ym, y0, yp = taps[..., 0], taps[..., 1], taps[..., 2]
+    # Masked reductions instead of gathers: TPU gather ops carry ~35-50 us
+    # fixed overhead each and even a single batched take_along_axis of the
+    # three taps traced at ~150 us/64-frame batch; three one-hot weighted
+    # sums over the [K, G] spectrum are pure VPU work and fuse with the
+    # argmax that produced idx.
+    cols = jnp.arange(g)[None, :]
+    tap = lambda i: jnp.sum(jnp.where(cols == i[..., None], spectrum, 0.0),
+                            axis=-1)
+    ym, y0, yp = tap(im), tap(idx), tap(ip)
     denom = ym - 2.0 * y0 + yp
     delta = jnp.where(jnp.abs(denom) > 1e-12,
                       0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
