@@ -99,15 +99,18 @@ def _cfar_threshold(p1, bs_t, bd_t, bs_g, bd_g, *, train: int, guard: int,
     guard_w = 2 * guard + 1
 
     # Box sums: rows (Doppler axis) then columns (range axis); division by
-    # the per-cell valid count is the closed-form outer product.
+    # the per-cell valid count is the closed-form outer product.  bf16x3
+    # matmuls (~1e-7 relative) instead of Mosaic's 6-pass f32: the banded
+    # sums feed a threshold with a 12 dB offset margin, and the 6-pass
+    # path cost ~150 us/64-frame batch of the kernel's budget.
     cnt_d = _window_counts((C, 1), 0, train_w // 2)         # [C, 1]
     cnt_s = _window_counts((1, S), 1, train_w // 2)         # [1, S]
-    sum_t = _mm_f32(_mm_f32(bd_t, p1), bs_t)
+    sum_t = _mm_bf16x3(_mm_bf16x3(bd_t, p1), bs_t)
     noise = sum_t / (cnt_d * cnt_s)
     if guard > 0:
         cnt_dg = _window_counts((C, 1), 0, guard_w // 2)
         cnt_sg = _window_counts((1, S), 1, guard_w // 2)
-        g = _mm_f32(_mm_f32(bd_g, p1), bs_g) / (cnt_dg * cnt_sg)
+        g = _mm_bf16x3(_mm_bf16x3(bd_g, p1), bs_g) / (cnt_dg * cnt_sg)
         n_train = float(train_w * train_w)
         n_guard = float(guard_w * guard_w)
         noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
@@ -136,8 +139,16 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                        seed_ref[pl.program_id(0)], sigma,
                        _MMS[synth_precision])
     zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], _MMS[z_precision])
-    zr_ref[0] = zr                       # the signatures' sufficient
-    zi_ref[0] = zi                       # statistic: Z = x @ W_rng
+    # Z is written TRANSPOSED [S, A*C]: the XLA column gather downstream
+    # wants the antenna-chirp axis minor and otherwise inserts two
+    # full-plane relayout copies (~180 us/64f traced).  The relayout is
+    # expressed as per-antenna [C, S] -> [S, C] transposes + lane concat
+    # (the rds_pallas pattern; Mosaic rejects one big 2-D transpose less
+    # predictably than these block forms).
+    zr_ref[0] = jnp.concatenate(
+        [zr[a * C:(a + 1) * C, :].T for a in range(A)], axis=1)
+    zi_ref[0] = jnp.concatenate(
+        [zi[a * C:(a + 1) * C, :].T for a in range(A)], axis=1)
 
     # ---- Doppler power --------------------------------------------------
     acc = _doppler_power(zr, zi, wdtr_ref[:], wdti_ref[:], A, C,
@@ -312,8 +323,8 @@ def scatterer_frontend(
             doppler_layout=doppler_layout),
         grid=(F,),
         in_specs=in_specs,
-        out_specs=(fr((AC, S)), fr((AC, S)), fr((C, S)), fr((C, S))),
-        out_shape=(kc((AC, S), jnp.float32), kc((AC, S), jnp.float32),
+        out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),
+        out_shape=(kc((S, AC), jnp.float32), kc((S, AC), jnp.float32),
                    kc((C, S), jnp.float32), kc((C, S), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=F * (6 * AC * Sc * S        # synthesis matmul
@@ -342,18 +353,18 @@ def scatterer_frontend(
     valid = vals > jnp.float32(_NEG * 0.1)
     vals = jnp.where(valid, vals, -jnp.inf)
 
-    # signature[f, k, a] = sum_c w_dop[c, f(d_k)] * Z[f, a*C+c, r_k]
-    # -- EXACTLY detection_signatures' math, with Z's columns gathered
+    # signature[f, k, a] = sum_c w_dop[c, f(d_k)] * Z[f, r_k, a*C+c]
+    # -- EXACTLY detection_signatures' math, with Z's rows gathered
     # instead of recomputed (the Doppler column d of doppler_dft_matrix is
-    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).  Gather
-    # the re/im planes separately and assemble complex on the [AC, K]
-    # slice: materializing complex Z first cost two full-plane copies
-    # (~180 us/64f, scripts/trace_batched.py).
-    rbk = rb[:, None, :]
-    zcols = (jnp.take_along_axis(zr, rbk, axis=2)
-             + 1j * jnp.take_along_axis(zi, rbk, axis=2)
-             ).astype(jnp.complex64)                        # [F, AC, K]
-    zcols = zcols.reshape(F, A, C, K)
+    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).  The
+    # kernel emits Z transposed so the gathered axis is major and the
+    # re/im planes are gathered separately: materializing complex Z (or
+    # letting XLA relayout it for the gather) cost full-plane copies.
+    rbk = rb[:, :, None]
+    zcols = (jnp.take_along_axis(zr, rbk, axis=1)
+             + 1j * jnp.take_along_axis(zi, rbk, axis=1)
+             ).astype(jnp.complex64)                        # [F, K, AC]
+    zcols = zcols.reshape(F, K, A, C)
     c_idx = jnp.arange(C, dtype=jnp.float32)
     f_shift = jnp.mod(db - C // 2, C).astype(jnp.float32)   # [F, K]
     w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C)
@@ -361,7 +372,7 @@ def scatterer_frontend(
     if doppler_window is not None:
         wd = get_window(doppler_window, C).astype(jnp.float32)
         w_dop = wd[None, :, None] * w_dop
-    sig = jnp.einsum("fack,fck->fka", zcols,
+    sig = jnp.einsum("fkac,fck->fka", zcols,
                      w_dop.astype(jnp.complex64),
                      precision=jax.lax.Precision.HIGHEST)   # [F, K, A]
     power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
