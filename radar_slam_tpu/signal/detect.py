@@ -294,19 +294,20 @@ def _detections_from_bins(power_db: jax.Array, r_bin: jax.Array,
     # at 64 chirps), while the cross-frame phase observable wraps every
     # lambda/(4 dt) ~ 2 cm/s; sub-bin interpolation bridges that gap.  The
     # reference reports integer bins only (dechirp.py:258-271).
-    # All five map taps ride ONE flat gather: each separate fancy-indexing
-    # expression lowered to its own ~35-50 us TPU gather op (fixed overhead
-    # regardless of the 64 gathered values; scripts/trace_batched.py).
-    def fidx(rr, dd):
-        return jnp.clip(rr, 0, R - 1) * D + jnp.clip(dd, 0, D - 1)
-
-    taps = jnp.take(power_db.reshape(-1),
-                    jnp.stack([fidx(r_bin - 1, d_bin), fidx(r_bin, d_bin),
-                               fidx(r_bin + 1, d_bin),
-                               fidx(r_bin, d_bin - 1),
-                               fidx(r_bin, d_bin + 1)], axis=-1),
-                    axis=0)                                 # [K, 5]
-    y0 = taps[:, 1]
+    # One contiguous ROW gather + one-hot masked reductions: rows r-1..r+1
+    # are contiguous in the minor axis, so gathering whole [D]-rows
+    # vectorizes where the 5-scattered-element version still traced at
+    # ~200 us/64-frame batch; the within-row taps are bit-exact one-hot
+    # sums (single nonzero) that fuse with the surrounding arithmetic.
+    rows3 = jnp.take(power_db,
+                     jnp.clip(jnp.stack([r_bin - 1, r_bin, r_bin + 1],
+                                        axis=-1), 0, R - 1).reshape(-1),
+                     axis=0).reshape(K, 3, D)               # [K, 3, D]
+    cols = jnp.arange(D)[None, :]
+    tap_row = lambda r3, dd: jnp.sum(
+        jnp.where(cols == jnp.clip(dd, 0, D - 1)[:, None], r3, 0.0),
+        axis=-1)
+    y0 = tap_row(rows3[:, 1], d_bin)
 
     def parabolic_frac(ym, yp):
         denom = ym - 2.0 * y0 + yp
@@ -315,9 +316,11 @@ def _detections_from_bins(power_db: jax.Array, r_bin: jax.Array,
                                                      denom, 1.0), 0.0)
         return jnp.clip(frac, -0.5, 0.5)
 
-    r_frac = parabolic_frac(taps[:, 0], taps[:, 2])
+    r_frac = parabolic_frac(tap_row(rows3[:, 0], d_bin),
+                            tap_row(rows3[:, 2], d_bin))
     r_frac = jnp.where((r_bin > 0) & (r_bin < R - 1), r_frac, 0.0)
-    d_frac = parabolic_frac(taps[:, 3], taps[:, 4])
+    d_frac = parabolic_frac(tap_row(rows3[:, 1], d_bin - 1),
+                            tap_row(rows3[:, 1], d_bin + 1))
     d_frac = jnp.where((d_bin > 0) & (d_bin < D - 1), d_frac, 0.0)
 
     # Axis lookups computed arithmetically instead of gathered from the
