@@ -69,6 +69,25 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """Drop jax's executable/tracing caches every ~30 tests.
+
+    XLA:CPU's compiler segfaulted reproducibly (three times, in
+    `backend_compile_and_load`, at whichever heavy jit happened to land
+    past the ~180-accumulated-executables mark of a full-suite run) while
+    every shorter run passes.  Periodic clearing keeps the compiler
+    inside whatever per-process resource pool it exhausts; the cost is a
+    few recompiles of shared programs per suite."""
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 30 == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()
