@@ -77,6 +77,31 @@ def time_one(run, trials=4):
     return out, best
 
 
+def time_pair(run1, run2, trials=6):
+    """Best wall times of two runs with INTERLEAVED trials.
+
+    The differencing estimate (t2 - t1) is only valid when both
+    measurements see the same dispatch/tunnel conditions; measuring all
+    t1 trials then all t2 trials let a congested window inflate one side
+    only (observed: a t1-side slowdown doubled the reported frames/s).
+    Alternating trials makes any congestion window hit both."""
+    out1 = run1()
+    force(out1)                           # compile + warm both programs
+    out2 = run2()
+    force(out2)
+    b1 = b2 = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out1 = run1()
+        force(out1)
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out2 = run2()
+        force(out2)
+        b2 = min(b2, time.perf_counter() - t0)
+    return out1, b1, out2, b2
+
+
 def chained_time(fn, x0, iters=24):
     """Per-call device time: iterate inside one program, difference two
     iteration counts (scripts/bench_kernels.py methodology)."""
@@ -254,12 +279,14 @@ def main():
     # synthesis matmul itself; the counter-based RBG is the TPU-native
     # generator (the key's impl propagates through every split).
     key = jax.random.key(0, impl="rbg")
-    out1, t1 = time_one(lambda: pipe.process_sequence_batched(batches1, key, cfg))
-    out2, t2 = time_one(lambda: pipe.process_sequence_batched(batches2, key, cfg))
+    out1, t1, _, t2 = time_pair(
+        lambda: pipe.process_sequence_batched(batches1, key, cfg),
+        lambda: pipe.process_sequence_batched(batches2, key, cfg))
     fps = (f2 - f1) / max(t2 - t1, 1e-9)
 
-    _, t1s = time_one(lambda: pipe.process_sequence(batches1, key, cfg))
-    _, t2s = time_one(lambda: pipe.process_sequence(batches2, key, cfg))
+    _, t1s, _, t2s = time_pair(
+        lambda: pipe.process_sequence(batches1, key, cfg),
+        lambda: pipe.process_sequence(batches2, key, cfg))
     fps_scan = (f2 - f1) / max(t2s - t1s, 1e-9)
 
     # Accuracy gates: the benchmark only counts if the pipeline works.
