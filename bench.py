@@ -26,14 +26,14 @@ Regression gates, ratcheted to the measured state +- ~10-20% rather than
 round numbers (VERDICT r03 item 7; the round-2 lesson was a 0.395 -> 0.538
 drift passing unremarked):
 - ``pos_err_bound_ok``: final open-loop pose error <= 0.5 m over the 51 m /
-  64-frame path (recorded: r02 0.538, r03 0.465);
-- ``pos_rmse_ok``: trajectory position RMSE <= 0.25 m (r03: 0.209);
+  64-frame path (recorded: r02 0.538, r03 0.465, r04 0.409);
+- ``pos_rmse_ok``: trajectory position RMSE <= 0.22 m (r04: 0.182);
 - ``adversarial_ok``: a movers+clutter mismatch scene must stay inside the
   reference parity bound (position RMSE <= 0.777 m);
 - ``music_ok``: the same scene with the REFERENCE'S step-3 default
-  estimator (MUSIC) must hold <= 0.30 m position RMSE (r03 measured
-  0.386 before the null-function refinement fix, r04 ~0.21 after);
-- ``scan_ok``: sequential scan-driver floor 3,000 frames/s (r03: 3,807);
+  estimator (MUSIC) must hold <= 0.25 m position RMSE (r03 measured
+  0.386 before the null-function refinement fix, r04 0.169 after);
+- ``scan_ok``: sequential scan-driver floor 3,800 frames/s (r04: 4,155);
 - ``sane`` requires all of the above plus >90 % solve success.
 
 Baseline: the reference's real pipeline runs 3.28-4.14 s/frame on CPU
@@ -296,8 +296,8 @@ def main():
     pose_err = float(np.linalg.norm(pose_np[-1][:2] - gt_np[-1][:2]))
     pos_rmse = round(float(
         planar_pose_errors(pose_np, gt_np)["position_rmse"]), 3)
-    pos_err_bound_ok = pose_err <= 0.5          # r02 0.538, r03 0.465
-    pos_rmse_ok = pos_rmse <= 0.25              # r03 0.209
+    pos_err_bound_ok = pose_err <= 0.5          # r02 0.538, r03 0.465, r04 0.409
+    pos_rmse_ok = pos_rmse <= 0.22              # r04 0.182
     adv_rmse, adversarial_ok = adversarial_check(cfg)
 
     # Reference's step-3 default estimator (MUSIC) regression guard.
@@ -306,9 +306,9 @@ def main():
     out_music = pipe.process_sequence_batched(batches1, key, cfg_music)
     music_rmse = round(float(planar_pose_errors(
         np.asarray(out_music.pose), gt_np)["position_rmse"]), 3)
-    music_ok = music_rmse <= 0.30               # r04 ~0.21 after null-fn fix
+    music_ok = music_rmse <= 0.25               # r04 0.169 after null-fn fix
 
-    scan_ok = fps_scan >= 3500.0                # r03 3,807; r04 4,056
+    scan_ok = fps_scan >= 3800.0                # r04 4,155
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
             and adversarial_ok and music_ok and scan_ok)
 

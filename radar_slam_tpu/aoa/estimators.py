@@ -156,7 +156,12 @@ def signature_covariances(signatures: jax.Array,
     (angle_estimation.py:127).  ``forward_backward`` averages R with
     J conj(R) J (standard FB smoothing for ULAs) which raises the effective
     rank for coherent multipath; ``diagonal_load`` adds eps*I for numerical
-    robustness.  Both default off for reference parity."""
+    robustness.  ``diagonal_load`` defaults off for reference parity;
+    ``forward_backward`` is a *documented parity departure* when reached
+    through ``estimate_angles``/``estimate_angles_2d`` with MUSIC/ESPRIT
+    (``AoAConfig.music_fb`` defaults True -- a strict accuracy win
+    measured at the bench point; pass ``music_fb=False`` for bit-level
+    reference behavior, see docs/PARITY.md)."""
     R = signatures[..., :, None] * jnp.conj(signatures[..., None, :])
     if forward_backward:
         A = R.shape[-1]
@@ -239,8 +244,11 @@ def estimate_music(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
     at the r03 bench point (VERDICT r03 weak 3 / next 3).  The null
     function a^H P_n a itself is locally quadratic at the source (it is a
     smooth norm with a zero/minimum there), which is exactly the model the
-    three-point parabola assumes; the argmax is unchanged, only the
-    fraction improves."""
+    three-point parabola assumes.  The selected bin is argmax(-denom),
+    which can differ from argmax(spec) where denom <= 1e-12 clamps the
+    pseudo-spectrum to 0 (near-noise-free poles) -- there -denom picks the
+    more correct bin; the unrefined path and the returned spectra keep the
+    clamped spec for reference parity."""
     grid = azimuth_grid_deg(aoa)
     denom = music_denominator(signatures, grid_steering_matrix(cfg, aoa),
                               num_sources, forward_backward)

@@ -182,7 +182,9 @@ class AoAConfig:
     # J conj(s) = e^{j phi} s, so the signal subspace is unchanged while
     # the noise contribution gets an extra effective snapshot -- the
     # textbook fix for the reference's rank-1 single-snapshot covariance
-    # (angle_estimation.py:127; VERDICT r03 item 3).
+    # (angle_estimation.py:127; VERDICT r03 item 3).  NOTE: True is a
+    # deliberate parity DEPARTURE -- the reference never FB-averages; set
+    # False for bit-level reference behavior (docs/PARITY.md).
     music_fb: bool = True
     # robust estimator:
     temporal_window: int = 3             # robust_angle_estimation.py:73 (ref default 5)

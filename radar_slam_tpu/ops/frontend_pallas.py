@@ -91,8 +91,12 @@ def _window_counts(shape, dim: int, pad: int) -> jax.Array:
 
 def _cfar_threshold(p1, bs_t, bd_t, bs_g, bd_g, *, train: int, guard: int,
                     offset_db: float, threshold_db: float, C: int, S: int):
-    """CA-CFAR threshold map [C, S] via banded-matmul box means; exact
-    replica of ``signal/detect.py:_threshold_power`` (ca branch)."""
+    """CA-CFAR threshold map [C, S] via banded-matmul box means; replica
+    of ``signal/detect.py:_threshold_power`` (ca branch) up to bf16x3
+    (~1e-7 rel) box-sum accumulation and natural-log vs log10 dB
+    evaluation -- borderline threshold crossings can differ between this
+    and the XLA path, which is why the equivalence tests compare detected
+    SETS at tolerance rather than bitwise masks."""
     if train <= 0:
         return jnp.full((C, S), jnp.float32(threshold_db))
     train_w = 2 * train + 2 * guard + 1
