@@ -34,6 +34,10 @@ drift passing unremarked):
   estimator (MUSIC) must hold <= 0.25 m position RMSE (r03 measured
   0.386 before the null-function refinement fix, r04 0.169 after);
 - ``scan_ok``: sequential scan-driver floor 3,800 frames/s (r04: 4,155);
+- ``rig_ok``: the batched 4-sensor mounted-rig driver (the path real
+  RadarScenes data auto-routes to) must hold >= 7,000 rig-frames/s and
+  <= 0.10 m position RMSE on its bench scene (r05 measured: 10,109 fps
+  standalone, ~8,000 inside the full bench run; scripts/bench_rig.py);
 - ``sane`` requires all of the above plus >90 % solve success.
 
 Baseline: the reference's real pipeline runs 3.28-4.14 s/frame on CPU
@@ -238,6 +242,39 @@ def stage_breakdown(cfg, batches, key):
     return {k: round(v * 1e6, 1) for k, v in stages.items()}
 
 
+def rig_check(cfg):
+    """Batched 4-sensor mounted-rig driver: frames/s (differenced) and
+    position RMSE on a RadarScenes-like mounting geometry.  The CLI
+    auto-routes real datasets with sensors.json to this path, so its
+    throughput is first-class (VERDICT r04 item 1)."""
+    from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
+    from radar_slam_tpu.io.synthetic import (SceneConfig,
+                                             constant_motion_scene_rig)
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    rig4 = ((3.6, 0.8, 0.55), (3.6, -0.8, -0.55),
+            (2.4, 0.9, 1.48), (2.4, -0.9, -1.48))
+
+    def rig_scene(n):
+        return constant_motion_scene_rig(
+            7, num_frames=n, dt=cfg.frame_dt, v_body=(8.0, 0.5),
+            yaw_rate=0.05,
+            scene=SceneConfig(num_points=96,
+                              max_scatterers=cfg.max_scatterers), rig=rig4)
+
+    f1, f2 = 32, 160
+    b1, gt1 = rig_scene(f1)
+    b2, _ = rig_scene(f2)
+    key = jax.random.key(0, impl="rbg")
+    out1, t1, _, t2 = time_pair(
+        lambda: rigmod.process_sequence_rig_batched(b1, key, cfg, rig4),
+        lambda: rigmod.process_sequence_rig_batched(b2, key, cfg, rig4))
+    fps = (f2 - f1) / max(t2 - t1, 1e-9)
+    m = planar_pose_errors(np.asarray(out1.pose), np.asarray(gt1["poses"]))
+    rmse = round(float(m["position_rmse"]), 3)
+    return round(fps, 1), rmse, bool(fps >= 7000.0 and rmse <= 0.10)
+
+
 def adversarial_check(cfg):
     """Movers + clutter mismatch scene through the batched driver; the
     parity bound (0.777 m position RMSE) is the pass line."""
@@ -309,8 +346,9 @@ def main():
     music_ok = music_rmse <= 0.25               # r04 0.169 after null-fn fix
 
     scan_ok = fps_scan >= 3800.0                # r04 4,155
+    rig_fps, rig_rmse, rig_ok = rig_check(cfg)  # r05 10,109 fps / 0.039 m
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
-            and adversarial_ok and music_ok and scan_ok)
+            and adversarial_ok and music_ok and scan_ok and rig_ok)
 
     stage_us = stage_breakdown(cfg, batches1, key)
 
@@ -333,6 +371,9 @@ def main():
         "music_pos_rmse_m": music_rmse,
         "music_ok": music_ok,
         "scan_ok": scan_ok,
+        "rig_fps_4sensor": rig_fps,
+        "rig_pos_rmse_m": rig_rmse,
+        "rig_ok": rig_ok,
         "stage_us_per_64f": stage_us,
         "device": str(jax.devices()[0]),
     }

@@ -260,8 +260,12 @@ def _cmd_analyze_rig(args, cfg) -> int:
         out = process_sequence_rig_prefetch(batches, jax.random.key(0),
                                             cfg, rig)
     else:
-        out = rigmod.process_sequence_rig(batches, jax.random.key(0), cfg,
-                                          rig)
+        # Two-phase batched rig driver (4.1x the sequential scan on chip;
+        # scripts/bench_rig.py) -- same driver choice as the merged path
+        # above (process_sequence_batched).
+        out = rigmod.process_sequence_rig_batched(batches,
+                                                  jax.random.key(0), cfg,
+                                                  rig)
     m = planar_pose_errors(np.asarray(out.pose), np.asarray(gt_poses))
     metrics = {
         "rig": [list(s) for s in rig],

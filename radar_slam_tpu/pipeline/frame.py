@@ -495,6 +495,51 @@ def process_signal_sequence_batched(signals: jax.Array, cfg: PipelineConfig,
     return _sequence_from_features(features, cfg, rotate_pose)
 
 
+def _batched_assoc_solve(targets: Targets, cfg: PipelineConfig,
+                         sensor_pos: Optional[jax.Array] = None,
+                         group: Optional[jax.Array] = None):
+    """Phase B2 shared by the batched drivers: association + velocity solve,
+    batched over frames.  Association only needs the PREVIOUS frame's
+    targets -- a shift, not a scan.  The temporal motion prior is dropped
+    here (weight is 0.001x the data terms; the scan drivers keep it).
+
+    ``sensor_pos`` [K, 3] / ``group`` [K] are the mounted-rig extensions
+    (per-target sensor origins and sensor-block ids; pipeline/rig.py)."""
+    F = targets.range_m.shape[0]
+    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]]), targets)
+    has_prev = jnp.arange(F) > 0
+
+    def solve_one(cur, prv, hp):
+        assoc = associate_targets(cur, prv, cfg.frame_dt, cfg.velocity,
+                                  sensor_pos=sensor_pos, group=group)
+        assoc = assoc._replace(valid=assoc.valid & hp)
+        return assoc.num_valid, solve_velocity(
+            assoc, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
+            cfg.velocity,
+            v_unambiguous=cfg.radar.max_unambiguous_velocity)
+
+    return jax.vmap(solve_one)(targets, prev, has_prev)
+
+
+def _pose_prefix(motion: MotionEstimate, cfg: PipelineConfig,
+                 rotate_pose: bool) -> jax.Array:
+    """Phase B3 shared by the batched drivers: planar pose composition as
+    vectorized prefix sums over per-frame increments."""
+    dtf = jnp.float32(cfg.frame_dt)
+    wz = jnp.where(motion.success, motion.angular_velocity[:, 2], 0.0)
+    yaw_after = jnp.cumsum(wz * dtf)
+    yaw_before = yaw_after - wz * dtf
+    v = jnp.where(motion.success[:, None], motion.velocity[:, :2], 0.0)
+    if rotate_pose:
+        c, s = jnp.cos(yaw_before), jnp.sin(yaw_before)
+        step_xy = jnp.stack([c * v[:, 0] - s * v[:, 1],
+                             s * v[:, 0] + c * v[:, 1]], axis=-1) * dtf
+    else:
+        step_xy = v * dtf
+    xy_after = jnp.cumsum(step_xy, axis=0)
+    return jnp.concatenate([xy_after, yaw_after[:, None]], axis=-1)
+
+
 def _sequence_from_features(features, cfg: PipelineConfig,
                             rotate_pose: bool) -> FrameOutput:
     """Phase B shared by the batched drivers: windowed temporal smoothing,
@@ -522,37 +567,8 @@ def _sequence_from_features(features, cfg: PipelineConfig,
         is_reliable=reliable, spatial_signature=sigs, valid=keep,
         elevation_rad=jnp.deg2rad(el_deg))                         # [F, ...]
 
-    # ---- phase B2: association + velocity solve, batched over frames ------
-    # Association only needs the PREVIOUS frame's targets -- a shift, not a
-    # scan.  The temporal motion prior is dropped in this driver (weight is
-    # 0.001x the data terms; the scan driver keeps it).
-    prev = jax.tree.map(lambda x: jnp.concatenate([x[:1], x[:-1]]), targets)
-    has_prev = jnp.arange(F) > 0
-
-    def solve_one(cur, prv, hp):
-        assoc = associate_targets(cur, prv, cfg.frame_dt, cfg.velocity)
-        assoc = assoc._replace(valid=assoc.valid & hp)
-        return assoc.num_valid, solve_velocity(
-            assoc, jnp.float32(cfg.frame_dt), cfg.radar.lambda_c,
-            cfg.velocity,
-            v_unambiguous=cfg.radar.max_unambiguous_velocity)
-
-    n_assoc, motion = jax.vmap(solve_one)(targets, prev, has_prev)
-
-    # ---- phase B3: pose composition (vectorized prefix sums) --------------
-    dtf = jnp.float32(cfg.frame_dt)
-    wz = jnp.where(motion.success, motion.angular_velocity[:, 2], 0.0)
-    yaw_after = jnp.cumsum(wz * dtf)
-    yaw_before = yaw_after - wz * dtf
-    v = jnp.where(motion.success[:, None], motion.velocity[:, :2], 0.0)
-    if rotate_pose:
-        c, s = jnp.cos(yaw_before), jnp.sin(yaw_before)
-        step_xy = jnp.stack([c * v[:, 0] - s * v[:, 1],
-                             s * v[:, 0] + c * v[:, 1]], axis=-1) * dtf
-    else:
-        step_xy = v * dtf
-    xy_after = jnp.cumsum(step_xy, axis=0)
-    pose = jnp.concatenate([xy_after, yaw_after[:, None]], axis=-1)
+    n_assoc, motion = _batched_assoc_solve(targets, cfg)
+    pose = _pose_prefix(motion, cfg, rotate_pose)
 
     return FrameOutput(
         motion=motion, pose=pose,

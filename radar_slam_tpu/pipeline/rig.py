@@ -251,6 +251,119 @@ def _rig_tail(state, targets_b, smoother, clutter, cfg, rig, mount_xy,
     return new_state, out
 
 
+def sequence_features_rig(scatterers: ScattererBatch, key: jax.Array,
+                          cfg: PipelineConfig, rig: Rig):
+    """Phase A of the batched rig driver: per-(frame, sensor) heavy stages
+    over the FLATTENED [F*B] frame axis -- on TPU backends the one-pass
+    front end runs with (frame x sensor) as its kernel grid
+    (``ops/frontend_pallas.py``), exactly the sequential rig's kernel but
+    amortizing every dispatch over the whole sequence.
+
+    Noise realizations match :func:`process_sequence_rig` bit-for-bit: the
+    per-(f, b) key is split(split(key, F)[f], B)[b], the same derivation
+    the sequential driver performs frame by frame.
+
+    Returns the ``frame_features`` tuple with leading axes [F, B, ...].
+    """
+    F, B = scatterers.range_m.shape[:2]
+    keys_fb = jax.vmap(lambda k: jax.random.split(k, B))(
+        jax.random.split(key, F))                               # [F, B]
+    flat = jax.tree.map(
+        lambda x: x.reshape((F * B,) + x.shape[2:]), scatterers)
+
+    if (cfg.fft_mode == "fused" and cfg.synth_in_kernel
+            and cfg.chirp_subset is None and frame_mod._one_pass_active(cfg)):
+        seeds = jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32)
+                         .astype(jnp.int32))(keys_fb.reshape(F * B))
+        _, det, sigs = frame_mod._onepass_frontend(flat, seeds, cfg)
+        features = jax.vmap(
+            lambda d, s: frame_mod._aoa_features(d, s, cfg))(det, sigs)
+    else:
+        def heavy(sc, k):
+            sig = synthesize_frame(sc, cfg.radar, k,
+                                   fidelity=cfg.synth_fidelity)
+            return frame_mod.frame_features(sig, cfg)
+
+        features = jax.vmap(heavy)(flat, keys_fb.reshape(F * B))
+    return jax.tree.map(
+        lambda x: x.reshape((F, B) + x.shape[1:]), features)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rig", "rotate_pose"))
+def process_sequence_rig_batched(scatterers: ScattererBatch, key: jax.Array,
+                                 cfg: PipelineConfig, rig: Rig,
+                                 rotate_pose: bool = True) -> FrameOutput:
+    """Throughput-oriented rig driver: the two-phase split of
+    ``frame.process_sequence_batched`` applied to the mounted-sensor path
+    (VERDICT r04 item 1 -- the rig path is what real RadarScenes data runs,
+    and through r04 it only had the sequential scan driver).
+
+    Phase A batches the per-(frame, sensor) heavy stages over [F*B] at
+    once (:func:`sequence_features_rig`); phase B runs per-sensor windowed
+    temporal smoothing (scan-free), the vehicle-frame merge with exact
+    mounting geometry, shift-association restricted to same-sensor blocks,
+    the batched 6-DoF solve with per-target sensor origins, and the
+    prefix-sum pose.  Matches :func:`process_sequence_rig` up to the same
+    documented deltas as the merged batched driver: the temporal motion
+    prior is dropped (1e-3x weight; set ``temporal_weight=0`` for algebraic
+    equality) and the clutter map EMA -- strictly sequential through
+    detection -- is ignored (``clutter_map_alpha`` defaults 0).
+    """
+    from radar_slam_tpu.pipeline.frame import (_batched_assoc_solve,
+                                               _pose_prefix)
+
+    F, B = scatterers.range_m.shape[:2]
+    K = cfg.detection.max_detections
+    mount_xy, mount_yaw = rig_arrays(rig)
+
+    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
+     conf) = sequence_features_rig(scatterers, key, cfg, rig)   # [F, B, ...]
+
+    # Phase B1: temporal smoothing per sensor (each sensor owns its own
+    # track table in the sequential driver; vmap over the sensor axis).
+    D = cfg.radar.num_chirps if cfg.chirp_subset is None else (
+        cfg.chirp_subset[1] - cfg.chirp_subset[0])
+    det_keys = det.range_bin * D + det.doppler_bin              # [F, B, K]
+    angles_s, conf_s = jax.vmap(
+        lambda dk, an, cf, kp: smoothing.smooth_windowed(dk, an, cf, kp,
+                                                         cfg.aoa),
+        in_axes=1, out_axes=1)(det_keys, angles_deg, conf, keep)
+
+    reliable = keep & (conf_s >= cfg.aoa.confidence_threshold) & ~is_multi
+    targets_fb = Targets(
+        range_bin=det.range_bin, doppler_bin=det.doppler_bin,
+        range_m=det.range_m, doppler_hz=det.doppler_hz,
+        vr_mps=det.vr_mps, power_db=det.power_db,
+        azimuth_rad=jnp.deg2rad(angles_s), confidence=conf_s,
+        num_sources=num_sources, is_multipath=is_multi,
+        is_reliable=reliable, spatial_signature=sigs, valid=keep,
+        elevation_rad=jnp.deg2rad(el_deg))                      # [F, B, K]
+
+    # Vehicle-frame merge with exact mounting geometry (same as _rig_tail).
+    targets_fb = jax.vmap(jax.vmap(_to_vehicle_frame, in_axes=(0, 0, 0)),
+                          in_axes=(0, None, None))(
+        targets_fb, mount_xy, mount_yaw)
+    merged = jax.tree.map(
+        lambda x: x.reshape((F, B * K) + x.shape[3:]), targets_fb)
+    group = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    sensor_pos = jnp.repeat(
+        jnp.concatenate([mount_xy, jnp.zeros((B, 1))], axis=-1), K, axis=0)
+
+    # Phase B2 + B3 shared with the merged batched driver.
+    n_assoc, motion = _batched_assoc_solve(merged, cfg,
+                                           sensor_pos=sensor_pos,
+                                           group=group)
+    pose = _pose_prefix(motion, cfg, rotate_pose)
+
+    return FrameOutput(
+        motion=motion, pose=pose,
+        num_detections=jnp.sum(keep, axis=(1, 2)).astype(jnp.int32),
+        num_reliable=jnp.sum(merged.is_reliable, axis=-1).astype(jnp.int32),
+        num_associations=n_assoc.astype(jnp.int32),
+        target_xy=merged.position[..., :2],
+        target_valid=merged.valid & merged.is_reliable)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rig", "rotate_pose"))
 def process_sequence_rig(scatterers: ScattererBatch, key: jax.Array,
                          cfg: PipelineConfig, rig: Rig,

@@ -174,3 +174,49 @@ def test_rig_fused_detection_matches_fft(rig_scene):
     np.testing.assert_allclose(np.asarray(out_fus.pose),
                                np.asarray(out_fft.pose),
                                rtol=1e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_rig_batched_matches_scan(rig_scene):
+    """The two-phase batched rig driver must match the sequential scan rig
+    driver (same pattern as tests/test_batched_driver.py; temporal_weight=0
+    makes the drivers algebraically identical, and the per-(frame, sensor)
+    key derivation is shared so noise realizations agree bit-for-bit).
+
+    track_capacity is raised to satisfy smooth_windowed's no-capacity-
+    eviction exactness condition (capacity >= tracks updated within
+    track_max_age frames: up to max_targets x 3 per sensor; the module CFG's
+    64 slots can evict live tracks and drift the smoothed angles ~1e-3)."""
+    batches, _ = rig_scene
+    cfg = dataclasses.replace(
+        CFG, velocity=dataclasses.replace(CFG.velocity, temporal_weight=0.0),
+        aoa=dataclasses.replace(CFG.aoa, track_capacity=256))
+    a = rigmod.process_sequence_rig(batches, jax.random.key(0), cfg, RIG)
+    b = rigmod.process_sequence_rig_batched(batches, jax.random.key(0),
+                                            cfg, RIG)
+    np.testing.assert_allclose(np.asarray(b.pose), np.asarray(a.pose),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.motion.velocity),
+                               np.asarray(a.motion.velocity),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(b.motion.success),
+                                  np.asarray(a.motion.success))
+    np.testing.assert_array_equal(np.asarray(b.num_reliable),
+                                  np.asarray(a.num_reliable))
+    np.testing.assert_array_equal(np.asarray(b.num_detections),
+                                  np.asarray(a.num_detections))
+
+
+@pytest.mark.slow
+def test_rig_batched_yaw_recovery(rig_scene):
+    """Batched rig driver preserves the Doppler yaw-rate observability."""
+    batches, gt = rig_scene
+    out = rigmod.process_sequence_rig_batched(batches, jax.random.key(0),
+                                              CFG, RIG)
+    ok = np.asarray(out.motion.success)
+    assert ok[1:].all()
+    w = np.asarray(out.motion.angular_velocity)[1:]
+    np.testing.assert_allclose(w[:, 2], 0.25, atol=0.08)
+    err = np.linalg.norm(np.asarray(out.pose)[:, :2] - gt["poses"][:, :2],
+                         axis=-1)
+    assert err.max() <= 0.5, err
