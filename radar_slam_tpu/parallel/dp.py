@@ -40,27 +40,23 @@ from radar_slam_tpu.motion.associate import associate_targets
 from radar_slam_tpu.motion.velocity import solve_velocity
 
 
-def _block_targets(signals_block: jax.Array, cfg: PipelineConfig,
-                   axis_name: str) -> Targets:
-    """Per-block heavy stages + mesh-exact temporal smoothing.
+def _targets_from_features(features, cfg: PipelineConfig,
+                           axis_name: str) -> Targets:
+    """Mesh-exact temporal smoothing + target assembly from one block's
+    per-frame features.
 
-    Heavy per-frame features (RDS/detect/AoA/confidence; the shared
-    ``pipeline.frame.frame_features``) are computed locally per block; the
-    smoothing inputs -- integer track keys, raw angles, confidences, keep
-    masks, [B, K] each -- are all_gathered so every device runs the same
-    windowed smoother over the full [F, K] tables and slices its own block.
-    Compute is duplicated across devices but negligible (a [F, K, W] gather);
-    the alternative (neighbor halos) would bound the smoother lookback by the
-    block size."""
-    from radar_slam_tpu.pipeline.frame import frame_features
-
-    B = signals_block.shape[0]
+    The smoothing inputs -- integer track keys, raw angles, confidences,
+    keep masks, [B, K] each -- are all_gathered so every device runs the
+    same windowed smoother over the full [F, K] tables and slices its own
+    block.  Compute is duplicated across devices but negligible (a
+    [F, K, W] gather); the alternative (neighbor halos) would bound the
+    smoother lookback by the block size."""
+    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
+     conf) = features
+    B = det.range_bin.shape[0]
     idx = jax.lax.axis_index(axis_name)
     D = cfg.radar.num_chirps if cfg.chirp_subset is None else (
         cfg.chirp_subset[1] - cfg.chirp_subset[0])
-
-    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
-     conf) = jax.vmap(lambda s: frame_features(s, cfg))(signals_block)
 
     det_keys = det.range_bin * D + det.doppler_bin              # [B, K]
     gather = lambda x: jax.lax.all_gather(x, axis_name).reshape(
@@ -82,15 +78,61 @@ def _block_targets(signals_block: jax.Array, cfg: PipelineConfig,
         elevation_rad=jnp.deg2rad(el_deg))
 
 
-def _block_body(signals_block: jax.Array, cfg: PipelineConfig,
+def _block_targets(signals_block: jax.Array, cfg: PipelineConfig,
+                   axis_name: str) -> Targets:
+    """Per-block heavy stages (the shared ``pipeline.frame.frame_features``
+    over materialized ADC cubes) + mesh-exact smoothing."""
+    from radar_slam_tpu.pipeline.frame import frame_features
+
+    features = jax.vmap(lambda s: frame_features(s, cfg))(signals_block)
+    return _targets_from_features(features, cfg, axis_name)
+
+
+def _block_targets_scatterers(sc_block, seeds_block: jax.Array,
+                              keydata_block: jax.Array, cfg: PipelineConfig,
+                              axis_name: str) -> Targets:
+    """Per-block heavy stages from point-cloud scatterers -- the FLAGSHIP
+    front end (VERDICT r04 item 2: through r04 the SPMD driver only ran the
+    materialized-cube path, so multi-chip scaling would have measured the
+    slow path).  On TPU backends each device runs the one-pass Pallas
+    front end (``ops/frontend_pallas.py``) over its frame block; elsewhere
+    the materialized synthesize+``frame_features`` branch runs -- the same
+    backend dispatch contract as ``pipeline.frame.process_sequence_batched``,
+    whose phase A this mirrors per block.
+
+    ``seeds_block`` [B] feeds the in-kernel Mosaic PRNG (one-pass path);
+    ``keydata_block`` [B, ...] is ``jax.random.key_data`` of the per-frame
+    keys (fallback path; raw uint32 because typed key arrays don't cross
+    shard_map in_specs)."""
+    from radar_slam_tpu.pipeline import frame as frame_mod
+    from radar_slam_tpu.signal.synth import synthesize_frame
+
+    if (cfg.fft_mode == "fused" and cfg.synth_in_kernel
+            and cfg.chirp_subset is None
+            and frame_mod._one_pass_active(cfg)):
+        _, det, sigs = frame_mod._onepass_frontend(sc_block, seeds_block,
+                                                   cfg)
+        features = jax.vmap(
+            lambda d, s: frame_mod._aoa_features(d, s, cfg))(det, sigs)
+    else:
+        keys_block = jax.random.wrap_key_data(keydata_block)
+
+        def heavy(sc, k):
+            sig = synthesize_frame(sc, cfg.radar, k,
+                                   fidelity=cfg.synth_fidelity)
+            return frame_mod.frame_features(sig, cfg)
+
+        features = jax.vmap(heavy)(sc_block, keys_block)
+    return _targets_from_features(features, cfg, axis_name)
+
+
+def _block_tail(targets: Targets, cfg: PipelineConfig,
                 axis_name: str) -> dict:
-    """shard_map body: one contiguous frame block per device."""
-    B = signals_block.shape[0]
+    """Association + solve + distributed prefix-sum pose for one block."""
+    B = targets.range_m.shape[0]
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     dt = jnp.float32(cfg.frame_dt)
-
-    targets = _block_targets(signals_block, cfg, axis_name)     # [B, ...]
 
     # Halo exchange: last frame of block d -> device d+1 as its "previous".
     last = jax.tree.map(lambda x: x[-1], targets)
@@ -140,6 +182,52 @@ def _block_body(signals_block: jax.Array, cfg: PipelineConfig,
         "pose": pose,
         "num_associations": motion.num_targets,
     }
+
+
+def _block_body(signals_block: jax.Array, cfg: PipelineConfig,
+                axis_name: str) -> dict:
+    """shard_map body: one contiguous frame block of ADC cubes per device."""
+    return _block_tail(_block_targets(signals_block, cfg, axis_name),
+                       cfg, axis_name)
+
+
+def _block_body_scatterers(sc_block, seeds_block, keydata_block,
+                           cfg: PipelineConfig, axis_name: str) -> dict:
+    """shard_map body: one contiguous frame block of scatterer batches per
+    device, through the flagship (cube-free one-pass) front end."""
+    return _block_tail(
+        _block_targets_scatterers(sc_block, seeds_block, keydata_block,
+                                  cfg, axis_name), cfg, axis_name)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name"))
+def process_frames_dp_scatterers(scatterers, key: jax.Array,
+                                 cfg: PipelineConfig, mesh: Mesh,
+                                 axis_name: str = "f") -> dict:
+    """Frame-parallel SPMD pipeline from point-cloud scatterers -- the
+    production (cube-free) front end sharded over the mesh.
+
+    Per-frame seeds/keys are derived exactly as in
+    ``pipeline.frame.process_sequence_batched``'s phase A (in-kernel seeds
+    = ``random.bits(key, (F,))``; fallback keys = ``random.split(key, F)``),
+    so the F-frame outputs equal the single-device batched driver's on
+    either backend (asserted in ``tests/test_parallel.py``).  The fallback
+    path requires ``key`` to use the ambient default PRNG impl (key data is
+    re-wrapped inside shard_map, where typed key arrays cannot cross).
+
+    Args:
+        scatterers: ScattererBatch with frame axis [F, S]; F must divide
+            evenly by the mesh size (pad upstream).
+    """
+    F = scatterers.range_m.shape[0]
+    seeds = jax.random.bits(key, (F,), jnp.uint32).astype(jnp.int32)
+    keydata = jax.random.key_data(jax.random.split(key, F))
+    body = functools.partial(_block_body_scatterers, cfg=cfg,
+                             axis_name=axis_name)
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                       out_specs=P(axis_name), check_vma=False)
+    return fn(scatterers, seeds, keydata)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name"))

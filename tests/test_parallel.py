@@ -71,6 +71,35 @@ def test_dp_pipeline_matches_batched_driver(signals16):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_dp_scatterers_matches_batched_driver(eight_devices):
+    """The scatterer-input SPMD driver (the FLAGSHIP front end sharded over
+    the mesh; VERDICT r04 item 2) must equal the single-device batched
+    scatterer driver for every frame -- same per-frame key derivation, same
+    windowed smoother, same prior-free solve.  On this CPU mesh both run
+    the materialized fallback branch; on TPU both run the one-pass kernel
+    (same backend-dispatch contract)."""
+    from radar_slam_tpu.pipeline import frame as frame_mod
+    batches, gt = constant_motion_scene(
+        jax.random.key(3), num_frames=16, dt=CFG.frame_dt,
+        v_body=(6.0, 0.0), yaw_rate=0.1,
+        scene=SceneConfig(num_points=40, max_scatterers=CFG.max_scatterers))
+    key = jax.random.key(7)
+    out8 = dp.process_frames_dp_scatterers(batches, key, CFG, make_mesh(8))
+    ref = frame_mod.process_sequence_batched(batches, key, CFG)
+    np.testing.assert_allclose(np.asarray(out8["pose"]),
+                               np.asarray(ref.pose), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out8["velocity"]),
+                               np.asarray(ref.motion.velocity),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out8["success"]),
+                                  np.asarray(ref.motion.success))
+    out1 = dp.process_frames_dp_scatterers(batches, key, CFG, make_mesh(1))
+    np.testing.assert_allclose(np.asarray(out8["pose"]),
+                               np.asarray(out1["pose"]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dp_pose_prefix_sum(signals16):
     sig, gt = signals16
     out = dp.process_frames_dp(sig, CFG, make_mesh(8))
