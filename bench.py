@@ -34,6 +34,9 @@ drift passing unremarked):
   estimator (MUSIC) must hold <= 0.25 m position RMSE (r03 measured
   0.386 before the null-function refinement fix, r04 0.169 after);
 - ``scan_ok``: sequential scan-driver floor 3,800 frames/s (r04: 4,155);
+- ``chunked_ok``: the chunked sequential-semantics driver (batched phase A
+  per window + Jacobi prior; the throughput path for scan-semantics
+  workloads) floor 15,000 frames/s (r05: 26,634 @ window=16);
 - ``rig_ok``: the batched 4-sensor mounted-rig driver (the path real
   RadarScenes data auto-routes to) must hold >= 7,000 rig-frames/s and
   <= 0.10 m position RMSE on its bench scene (r05 measured: 10,109 fps
@@ -326,6 +329,14 @@ def main():
         lambda: pipe.process_sequence(batches2, key, cfg))
     fps_scan = (f2 - f1) / max(t2s - t1s, 1e-9)
 
+    # Chunked (sequential-semantics) driver: batched phase A per 16-frame
+    # window + Jacobi-relaxed prior chain (pipeline/frame.py:
+    # process_sequence_chunked; r05 measured 26.6k @ w=16, 34.4k @ w=64).
+    _, t1c, _, t2c = time_pair(
+        lambda: pipe.process_sequence_chunked(batches1, key, cfg),
+        lambda: pipe.process_sequence_chunked(batches2, key, cfg))
+    fps_chunked = (f2 - f1) / max(t2c - t1c, 1e-9)
+
     # Accuracy gates: the benchmark only counts if the pipeline works.
     ok = np.asarray(out1.motion.success)
     pose_np = np.asarray(out1.pose)
@@ -346,9 +357,11 @@ def main():
     music_ok = music_rmse <= 0.25               # r04 0.169 after null-fn fix
 
     scan_ok = fps_scan >= 3800.0                # r04 4,155
+    chunked_ok = fps_chunked >= 15000.0         # r05 26,634 @ w=16
     rig_fps, rig_rmse, rig_ok = rig_check(cfg)  # r05 10,109 fps / 0.039 m
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
-            and adversarial_ok and music_ok and scan_ok and rig_ok)
+            and adversarial_ok and music_ok and scan_ok and chunked_ok
+            and rig_ok)
 
     stage_us = stage_breakdown(cfg, batches1, key)
 
@@ -371,6 +384,8 @@ def main():
         "music_pos_rmse_m": music_rmse,
         "music_ok": music_ok,
         "scan_ok": scan_ok,
+        "chunked_driver_fps": round(fps_chunked, 1),
+        "chunked_ok": chunked_ok,
         "rig_fps_4sensor": rig_fps,
         "rig_pos_rmse_m": rig_rmse,
         "rig_ok": rig_ok,
