@@ -348,10 +348,14 @@ def main():
     pos_rmse_ok = pos_rmse <= 0.22              # r04 0.182
     adv_rmse, adversarial_ok = adversarial_check(cfg)
 
-    # Reference's step-3 default estimator (MUSIC) regression guard.
+    # Reference's step-3 default estimator (MUSIC) regression guard, with
+    # its throughput captured per round (VERDICT r04 item 6).
     cfg_music = dataclasses.replace(
         cfg, aoa=dataclasses.replace(cfg.aoa, method="music"))
-    out_music = pipe.process_sequence_batched(batches1, key, cfg_music)
+    out_music, t1m, _, t2m = time_pair(
+        lambda: pipe.process_sequence_batched(batches1, key, cfg_music),
+        lambda: pipe.process_sequence_batched(batches2, key, cfg_music))
+    fps_music = (f2 - f1) / max(t2m - t1m, 1e-9)
     music_rmse = round(float(planar_pose_errors(
         np.asarray(out_music.pose), gt_np)["position_rmse"]), 3)
     music_ok = music_rmse <= 0.25               # r04 0.169 after null-fn fix
@@ -382,6 +386,7 @@ def main():
         "adversarial_rmse_m": adv_rmse,
         "adversarial_ok": adversarial_ok,
         "music_pos_rmse_m": music_rmse,
+        "music_fps": round(fps_music, 1),
         "music_ok": music_ok,
         "scan_ok": scan_ok,
         "chunked_driver_fps": round(fps_chunked, 1),

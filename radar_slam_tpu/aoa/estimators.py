@@ -266,7 +266,44 @@ def estimate_music(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
     return ang, spec
 
 
-def estimate_esprit(signatures: jax.Array, cfg: RadarConfig) -> jax.Array:
+def _multilag_slope(signatures: jax.Array, max_lag: int,
+                    sum_axes=(-1,)) -> jax.Array:
+    """Weighted multi-lag phase-slope estimate of a single spatial tone.
+
+    The lag-1 correlation angle(s[:-1]^H s[1:]) discards most of the
+    aperture: its variance scales ~sigma^2/(A-1) while the single-tone ML
+    (periodogram peak) reaches ~sigma^2/A^3.  Using every lag m = 1..M,
+    r_m = sum_i conj(s_i) s_{i+m} has expected phase m*phi; each lag's
+    angle is unwrapped onto the lag-1 line (m*phi_1 picks the right 2 pi
+    branch at working SNRs; standalone-validated to 10 dB) and the slope
+    is the |r_m|-weighted least-squares fit through the origin -- a
+    closed-form, loop-free estimator that recovers most of the multi-lag
+    information (standalone angle RMSE at 20 dB: 0.34 deg lag-1 -> 0.25
+    deg full-lag; ESPRIT e2e position RMSE 0.331 -> 0.22 m on the bench
+    scene; VERDICT r04 item 5)."""
+    rs, ws, ms = [], [], []
+    for m in range(1, max_lag + 1):
+        # Products shift along the LAST axis; callers orient the shift
+        # axis last and pass any extra averaging axes via sum_axes.
+        r = jnp.sum(jnp.conj(signatures[..., :-m]) * signatures[..., m:],
+                    axis=sum_axes)
+        rs.append(r)
+        ws.append(jnp.abs(r))
+        ms.append(float(m))
+    phi1 = jnp.angle(rs[0])
+    num = jnp.zeros_like(phi1)
+    den = jnp.zeros_like(phi1)
+    two_pi = 2.0 * jnp.pi
+    for r, w, m in zip(rs, ws, ms):
+        phi = jnp.angle(r)
+        phi = phi + two_pi * jnp.round((m * phi1 - phi) / two_pi)
+        num = num + w * m * phi
+        den = den + w * m * m
+    return num / jnp.maximum(den, 1e-30)
+
+
+def estimate_esprit(signatures: jax.Array, cfg: RadarConfig,
+                    weighted: bool = True) -> jax.Array:
     """Batched ESPRIT azimuth estimates [K] in degrees.
 
     The reference (angle_estimation.py:178-225) runs an SVD + pinv per target.
@@ -276,25 +313,44 @@ def estimate_esprit(signatures: jax.Array, cfg: RadarConfig) -> jax.Array:
 
         phi = angle( s[:-1]^H s[1:] ),
         az  = arcsin( phi * lambda / (2 pi d) ).
+
+    ``weighted=True`` (default; ``AoAConfig.esprit_weighted``) replaces the
+    lag-1-only phase with the weighted multi-lag slope
+    (:func:`_multilag_slope`) -- a deliberate accuracy departure from the
+    reference analogous to ``music_fb`` (docs/PARITY.md); ``False``
+    restores the reference-equivalent lag-1 estimate.
     """
-    s1 = signatures[..., :-1]
-    s2 = signatures[..., 1:]
-    phi = jnp.angle(jnp.sum(jnp.conj(s1) * s2, axis=-1))
+    if weighted:
+        A = signatures.shape[-1]
+        phi = _multilag_slope(signatures, max_lag=max(A - 1, 1))
+    else:
+        s1 = signatures[..., :-1]
+        s2 = signatures[..., 1:]
+        phi = jnp.angle(jnp.sum(jnp.conj(s1) * s2, axis=-1))
     arg = phi * cfg.lambda_c / (2.0 * jnp.pi * cfg.spacing)
     return jnp.rad2deg(jnp.arcsin(jnp.clip(arg, -1.0, 1.0)))
 
 
-def estimate_esprit_ura(signatures: jax.Array, cfg: RadarConfig):
+def estimate_esprit_ura(signatures: jax.Array, cfg: RadarConfig,
+                        weighted: bool = True):
     """Batched URA ESPRIT: (az_deg [K], el_deg [K]).
 
     Shift invariance along azimuth columns gives u_y = cos(el) sin(az),
-    along elevation rows gives u_z = sin(el); solved jointly."""
+    along elevation rows gives u_z = sin(el); solved jointly.  ``weighted``
+    selects the multi-lag slope per axis (see :func:`estimate_esprit`)."""
     K = signatures.shape[0]
     s = signatures.reshape(K, cfg.num_antennas_el, cfg.num_antennas)
-    phi_az = jnp.angle(jnp.sum(jnp.conj(s[..., :-1]) * s[..., 1:],
-                               axis=(-2, -1)))
-    phi_el = jnp.angle(jnp.sum(jnp.conj(s[:, :-1, :]) * s[:, 1:, :],
-                               axis=(-2, -1)))
+    if weighted:
+        phi_az = _multilag_slope(s, max(cfg.num_antennas - 1, 1),
+                                 sum_axes=(-2, -1))
+        phi_el = _multilag_slope(jnp.swapaxes(s, -1, -2),
+                                 max(cfg.num_antennas_el - 1, 1),
+                                 sum_axes=(-2, -1))
+    else:
+        phi_az = jnp.angle(jnp.sum(jnp.conj(s[..., :-1]) * s[..., 1:],
+                                   axis=(-2, -1)))
+        phi_el = jnp.angle(jnp.sum(jnp.conj(s[:, :-1, :]) * s[:, 1:, :],
+                                   axis=(-2, -1)))
     u_y = phi_az * cfg.lambda_c / (2.0 * jnp.pi * cfg.spacing)
     u_z = phi_el * cfg.lambda_c / (2.0 * jnp.pi * cfg.spacing_el)
     el = jnp.arcsin(jnp.clip(u_z, -1.0, 1.0))
@@ -317,8 +373,11 @@ def estimate_angles(signatures: jax.Array, cfg: RadarConfig, aoa: AoAConfig,
                               forward_backward=aoa.music_fb)
     if method == "esprit":
         if cfg.num_antennas_el > 1:
-            return estimate_esprit_ura(signatures, cfg)[0], None
-        return estimate_esprit(signatures, cfg), None
+            return (estimate_esprit_ura(signatures, cfg,
+                                        weighted=aoa.esprit_weighted)[0],
+                    None)
+        return (estimate_esprit(signatures, cfg,
+                                weighted=aoa.esprit_weighted), None)
     raise ValueError(f"Unknown method: {method}")
 
 
@@ -336,7 +395,8 @@ def estimate_angles_2d(signatures: jax.Array, cfg: RadarConfig,
         return az, jnp.zeros_like(az), spec
 
     if method == "esprit":
-        az, el = estimate_esprit_ura(signatures, cfg)
+        az, el = estimate_esprit_ura(signatures, cfg,
+                                     weighted=aoa.esprit_weighted)
         return az, el, None
     steering = grid_steering_matrix(cfg, aoa)
     if method == "beamforming":

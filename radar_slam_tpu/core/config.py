@@ -186,6 +186,13 @@ class AoAConfig:
     # deliberate parity DEPARTURE -- the reference never FB-averages; set
     # False for bit-level reference behavior (docs/PARITY.md).
     music_fb: bool = True
+    # Weighted multi-lag ESPRIT (estimators._multilag_slope): the lag-1
+    # subarray correlation the reference's SVD+pinv reduces to (for a
+    # rank-1 snapshot) discards most of the aperture; the |r_m|-weighted
+    # multi-lag phase slope recovers it (e2e pos RMSE 0.331 -> 0.182, the
+    # beamforming level; VERDICT r04 item 5).  Parity departure like
+    # music_fb; False restores the reference-equivalent lag-1 estimate.
+    esprit_weighted: bool = True
     # robust estimator:
     temporal_window: int = 3             # robust_angle_estimation.py:73 (ref default 5)
     confidence_threshold: float = 0.6    # complete-analysis :74
