@@ -189,7 +189,8 @@ def stage_breakdown(cfg, batches, key):
                 doppler_window=cfg.doppler_window,
                 precision_name=cfg.power_precision,
                 doppler_precision=cfg.synth_doppler_precision,
-                doppler_layout=cfg.synth_doppler_layout)
+                doppler_layout=cfg.synth_doppler_layout,
+                noise_impl=cfg.noise_impl)
 
         p_lin = jax.jit(power_cf)(batches)
         det = jax.jit(jax.vmap(lambda p: detect_peaks_from_power(
@@ -203,7 +204,8 @@ def stage_breakdown(cfg, batches, key):
             seeds = jnp.arange(e_ac.shape[0], dtype=jnp.int32)
             return sp.scatterer_signatures(
                 e_ac, e_fast, seeds, rb, db, mix, C, sigma,
-                doppler_window=cfg.doppler_window)
+                doppler_window=cfg.doppler_window,
+                noise_impl=cfg.noise_impl)
 
         stages = {
             "synth_power_kernel": chained_time(power_cf, batches),

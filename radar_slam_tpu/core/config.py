@@ -358,6 +358,16 @@ class PipelineConfig:
     # (same statistics as jax.random.normal, different bits).  Requires a
     # real TPU backend; other backends fall back to the materialized path.
     synth_in_kernel: bool = False
+    # In-kernel Gaussian generator (synth_in_kernel paths).  "fast" keeps
+    # the exact Rayleigh radius sqrt(-2 log u) -- the magnitude CFAR and
+    # the power map see is exactly normal-distributed including tails --
+    # and replaces Box-Muller's cos/sin direction (measured ~265 of its
+    # 329 us/64-frame batch) with a normalized 45deg-staggered Irwin-Hall
+    # pair sum: 2x cheaper, statistically indistinguishable in a
+    # 1.6M-sample validation (ops/synthpower_pallas.py:_standard_normals;
+    # VERDICT r04 item 3a).  "box_muller" = the r04 stream (bit-level
+    # reproduction of earlier rounds' realizations).
+    noise_impl: str = "fast"
     # One-pass front end (synth_in_kernel only): ONE Pallas program per
     # frame runs synthesis + AWGN + range DFT (persisting Z = x @ W_rng,
     # the signatures' sufficient statistic) + Doppler power + CA-CFAR /

@@ -132,7 +132,8 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                      offset_db: float, threshold_db: float,
                      clutter_offset_db: float, has_clutter: bool,
                      synth_precision: str, z_precision: str,
-                     doppler_precision: str, doppler_layout: str):
+                     doppler_precision: str, doppler_layout: str,
+                     noise_impl: str):
     if has_clutter:
         clut_ref = refs[0]
         refs = refs[1:]
@@ -141,7 +142,7 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
     # ---- synthesis (+ noise, drawn ONCE) + range DFT --------------------
     xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
                        seed_ref[pl.program_id(0)], sigma,
-                       _MMS[synth_precision])
+                       _MMS[synth_precision], noise_impl)
     zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], _MMS[z_precision])
     # Z is written TRANSPOSED [S, A*C]: the XLA column gather downstream
     # wants the antenna-chirp axis minor and otherwise inserts two
@@ -223,7 +224,8 @@ def topk_two_stage(score: jax.Array, K: int,
                      "train", "guard", "neighborhood", "offset_db",
                      "threshold_db", "clutter_offset_db", "min_range_bin",
                      "max_range_bin", "synth_precision", "precision_name",
-                     "doppler_precision", "doppler_layout", "sig_precision"))
+                     "doppler_precision", "doppler_layout", "sig_precision",
+                     "noise_impl"))
 def scatterer_frontend(
         e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
         mix: jax.Array, C: int, sigma: float, K: int,
@@ -234,7 +236,7 @@ def scatterer_frontend(
         dc_removal: bool = True, doppler_window: Optional[str] = None,
         synth_precision: str = "high", precision_name: str = "default",
         doppler_precision: str = "high", doppler_layout: str = "loop",
-        sig_precision: str = "high",
+        sig_precision: str = "high", noise_impl: str = "box_muller",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The one-pass front end over a frame batch.
 
@@ -324,7 +326,7 @@ def scatterer_frontend(
             has_clutter=has_clutter, synth_precision=synth_precision,
             z_precision=sig_precision,
             doppler_precision=doppler_precision,
-            doppler_layout=doppler_layout),
+            doppler_layout=doppler_layout, noise_impl=noise_impl),
         grid=(F,),
         in_specs=in_specs,
         out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),

@@ -245,13 +245,15 @@ def process_scatterers(state: FrameState, scatterers: ScattererBatch,
                 doppler_window=cfg.doppler_window,
                 precision_name=cfg.power_precision,
                 doppler_precision=cfg.synth_doppler_precision,
-                doppler_layout=cfg.synth_doppler_layout)[0]
+                doppler_layout=cfg.synth_doppler_layout,
+                noise_impl=cfg.noise_impl)[0]
             det = detect_peaks_from_power(p_lin, cfg.radar, cfg.detection,
                                           clutter_lin=state.clutter)
             sigs = sp.scatterer_signatures(
                 e_ac[None], e_fast[None], seeds, det.range_bin[None],
                 det.doppler_bin[None], mix, C, sigma,
-                doppler_window=cfg.doppler_window)[0]
+                doppler_window=cfg.doppler_window,
+                noise_impl=cfg.noise_impl)[0]
         clutter = (detect_mod.clutter_map_update_from_power(
             state.clutter, p_lin, cfg.detection.clutter_map_alpha)
             if state.clutter is not None else None)
@@ -392,12 +394,14 @@ def process_sequence_chunked(scatterers: ScattererBatch, key: jax.Array,
                 doppler_window=cfg.doppler_window,
                 precision_name=cfg.power_precision,
                 doppler_precision=cfg.synth_doppler_precision,
-                doppler_layout=cfg.synth_doppler_layout)
+                doppler_layout=cfg.synth_doppler_layout,
+                noise_impl=cfg.noise_impl)
             det = jax.vmap(lambda p: detect_peaks_from_power(
                 p, cfg.radar, cfg.detection))(p_lin)
             sigs = sp.scatterer_signatures(
                 e_ac, e_fast, seeds, det.range_bin, det.doppler_bin, mix,
-                C, sigma, doppler_window=cfg.doppler_window)
+                C, sigma, doppler_window=cfg.doppler_window,
+                noise_impl=cfg.noise_impl)
             return det, sigs
 
         def heavy(s1, k1):
@@ -682,7 +686,8 @@ def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
         doppler_window=cfg.doppler_window,
         precision_name=cfg.power_precision,
         doppler_precision=cfg.synth_doppler_precision,
-        doppler_layout=cfg.synth_doppler_layout)
+        doppler_layout=cfg.synth_doppler_layout,
+        noise_impl=cfg.noise_impl)
     det = jax.vmap(lambda p, r, dd, v: detect_mod.detections_from_topk(
         p, r, dd, v, cfg.radar, cfg.detection))(p_lin, rb, db, vals)
     return p_lin, det, sigs
@@ -723,12 +728,14 @@ def sequence_features_scatterers_fused(scatterers: ScattererBatch,
                                doppler_window=cfg.doppler_window,
                                precision_name=cfg.power_precision,
                                doppler_precision=cfg.synth_doppler_precision,
-                               doppler_layout=cfg.synth_doppler_layout)
+                               doppler_layout=cfg.synth_doppler_layout,
+                               noise_impl=cfg.noise_impl)
     det = jax.vmap(lambda p: detect_peaks_from_power(
         p, cfg.radar, cfg.detection))(p_lin)
     sigs = sp.scatterer_signatures(e_ac, e_fast, seeds, det.range_bin,
                                    det.doppler_bin, mix, C, sigma,
-                                   doppler_window=cfg.doppler_window)
+                                   doppler_window=cfg.doppler_window,
+                                   noise_impl=cfg.noise_impl)
     return jax.vmap(lambda d, s: _aoa_features(d, s, cfg))(det, sigs)
 
 

@@ -236,3 +236,45 @@ def test_synth_power_wide_layout_matches_loop(setup):
             e_ac, e_fast, seeds, mix, C, 0.0,
             doppler_window=cfg.doppler_window, doppler_layout="wide"))
     assert np.abs(wide - loop).max() / loop.max() < 2e-6
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu", "axon"),
+                    reason="compiled Mosaic PRNG needs a real TPU")
+def test_fast_noise_statistics_on_tpu(setup):
+    """The "fast" Gaussian (exact Rayleigh radius + 45deg-staggered
+    Irwin-Hall direction; the production default) must hold the same
+    distribution bar as Box-Muller: mean/std, UNCLIPPED tails past 4
+    sigma at roughly the normal rate, and cross-kernel consistency of the
+    power map with the explicit-cube reconstruction."""
+    from radar_slam_tpu.utils.host import device_get
+
+    cfg, e_ac, e_fast, mix, seeds, sigma, _sig, C, A, S = setup
+    n = device_get(sp.noise_cube(jnp.array([17, 18], jnp.int32), A * C, S,
+                                 noise_impl="fast"))
+    flat = np.concatenate([n[0].real.ravel(), n[0].imag.ravel()])
+    assert abs(flat.mean()) < 0.02
+    assert abs(flat.std() - 1.0) < 0.02
+    n_tail = (np.abs(flat) > 4.0).sum()
+    expect = flat.size * 6.334e-5                 # 2*(1-Phi(4))
+    assert 0.3 * expect <= n_tail <= 3.0 * expect, (n_tail, expect)
+    assert np.abs(flat).max() < 8.0
+    # radius exactness: |z|^2/2 ~ Exp(1) -> mean 1, P(>4) = e^-4
+    r2 = (n[0].real ** 2 + n[0].imag ** 2) / 2.0
+    assert abs(r2.mean() - 1.0) < 0.02
+    frac = (r2 > 4.0).mean()
+    assert 0.5 * np.exp(-4) < frac < 2.0 * np.exp(-4), frac
+
+    synth = jax.jit(lambda a, f: jnp.einsum(
+        "bxp,bxs->bps", a, f,
+        precision=jax.lax.Precision.HIGHEST))(e_ac, e_fast)
+    nz = sp.noise_cube(seeds, A * C, S, noise_impl="fast")
+    signals = (synth + sigma * nz).reshape(2, A, C, S)
+    want = np.asarray(rds_power(signals, cfg.radar, window=cfg.window,
+                                doppler_window=cfg.doppler_window,
+                                mode="xla"))
+    got = np.asarray(sp.scatterer_power(
+        e_ac, e_fast, seeds, mix, C, sigma,
+        doppler_window=cfg.doppler_window, synth_precision="highest",
+        precision_name="highest", doppler_precision="highest",
+        noise_impl="fast"))
+    assert np.abs(got - want).max() / want.max() < 1e-4
