@@ -225,7 +225,7 @@ def topk_two_stage(score: jax.Array, K: int,
                      "threshold_db", "clutter_offset_db", "min_range_bin",
                      "max_range_bin", "synth_precision", "precision_name",
                      "doppler_precision", "doppler_layout", "sig_precision",
-                     "noise_impl"))
+                     "noise_impl", "topk_mode"))
 def scatterer_frontend(
         e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
         mix: jax.Array, C: int, sigma: float, K: int,
@@ -237,6 +237,7 @@ def scatterer_frontend(
         synth_precision: str = "high", precision_name: str = "default",
         doppler_precision: str = "high", doppler_layout: str = "loop",
         sig_precision: str = "high", noise_impl: str = "box_muller",
+        topk_mode: str = "sort",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The one-pass front end over a frame batch.
 
@@ -347,13 +348,21 @@ def scatterer_frontend(
 
     # ---- selection + signatures in XLA on the kernel's outputs ----------
     p_lin = jnp.swapaxes(p_ds, -1, -2)                      # [F, R, D]
-    # Selection: plain lax.top_k.  Its full-sort lowering traced at
-    # ~880 us/64f, but the segmented-exact alternative (topk_two_stage,
-    # kept below with its exactness test) measured SLOWER end to end
-    # (15.8k vs 16.3k fps) -- the two chained sorts pipeline worse than
-    # one; a measured negative result, not an oversight.
+    # Selection: plain lax.top_k by default.  Its full-sort lowering
+    # traced at ~880 us/64f at r04b, where the segmented-exact alternative
+    # (topk_two_stage) measured SLOWER end to end (15.8k vs 16.3k fps).
+    # Re-measured at the r05 operating point ("fast" noise, 2x faster
+    # program): ISOLATED two_stage now wins (514 vs 672 us/64f chained)
+    # but e2e is a WASH (39.96k vs 39.76k fps, interleaved one-process
+    # trials; an initial cross-process 47k-vs-40k reading was window
+    # drift) -- XLA overlaps the sort with surrounding work, so the
+    # isolated win doesn't survive.  Default stays "sort"; the measured
+    # knob stays for operating points where selection dominates.
     score = jnp.swapaxes(score_ds, -1, -2).reshape(F, S * C)
-    vals, idx = jax.lax.top_k(score, K)                     # [F, K]
+    if topk_mode == "two_stage":
+        vals, idx = topk_two_stage(score, K)                # [F, K]
+    else:
+        vals, idx = jax.lax.top_k(score, K)                 # [F, K]
     rb = (idx // C).astype(jnp.int32)
     db = (idx % C).astype(jnp.int32)
     valid = vals > jnp.float32(_NEG * 0.1)

@@ -187,6 +187,24 @@ def main():
              (batches, det.range_bin, det.doppler_bin)),
         ]
 
+        from radar_slam_tpu.pipeline import frame as pipe_mod
+        if pipe_mod._one_pass_active(cfg):
+            def sk_onepass(b):
+                seeds = jnp.arange(b.range_m.shape[0], dtype=jnp.int32)
+                return pipe_mod._onepass_frontend(b, seeds, cfg)[0]
+
+            def sk_onepass_full(b):
+                seeds = jnp.arange(b.range_m.shape[0], dtype=jnp.int32)
+                _, d, s = pipe_mod._onepass_frontend(b, seeds, cfg)
+                return d.range_m
+
+            sk_stages += [
+                ("frontend_onepass_kernel (r04+ production)", sk_onepass,
+                 batches),
+                ("frontend_onepass+topk+sigs (r04+ production)",
+                 sk_onepass_full, batches),
+            ]
+
     stages = [
         ("synthesis", lambda b: synthesize_frames_batch(b, cfg.radar, key),
          batches),
