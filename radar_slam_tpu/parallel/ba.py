@@ -14,9 +14,12 @@ across devices and the (small) pose vector replicated:
   back-substitute locally.  This is the keyframe-partitioned
   Schur-complement reduction BASELINE.json config 5 asks for.
 
-Pose vectors are tiny (3 floats/keyframe) next to the radar data, so
-replicating x and reducing factor contributions is the bandwidth-optimal
-layout: per GN iteration each device moves O(N) floats over ICI.
+Pose vectors are tiny (3-4 floats/keyframe; the trailing axis selects the
+planar (x, y, yaw) or z-aware (x, y, z, yaw) parameterization, see
+``posegraph.py``) next to the radar data, so replicating x and reducing
+factor contributions is the bandwidth-optimal layout: per GN iteration
+each device moves O(N) floats over ICI.  Every solver here is generic
+over the pose dimension.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ from radar_slam_tpu.parallel.posegraph import (PoseGraph, factor_jacobians,
 # ---------------------------------------------------------------------------
 
 def _block_gradient(poses, graph_slice: PoseGraph):
-    """g = J^T W r accumulated into a full-length [N, 3] array."""
+    """g = J^T W r accumulated into a full-length [N, D] array."""
     r = factor_residuals(poses, graph_slice)
     Ji, Jj = factor_jacobians(poses, graph_slice)
     w = graph_slice.factor_valid[:, None] * graph_slice.info        # [M, 3]
@@ -46,14 +49,14 @@ def _block_gradient(poses, graph_slice: PoseGraph):
     gi = jnp.einsum("mab,ma->mb", Ji, wr)
     gj = jnp.einsum("mab,ma->mb", Jj, wr)
     N = poses.shape[0]
-    g = jnp.zeros((N, 3))
+    g = jnp.zeros((N, poses.shape[-1]))
     g = g.at[graph_slice.fi].add(gi, mode="drop")
     g = g.at[graph_slice.fj].add(gj, mode="drop")
     return g
 
 
 def _block_hvp(poses, graph_slice: PoseGraph, v):
-    """(J^T W J) v accumulated into a full-length [N, 3] array."""
+    """(J^T W J) v accumulated into a full-length [N, D] array."""
     Ji, Jj = factor_jacobians(poses, graph_slice)
     w = graph_slice.factor_valid[:, None] * graph_slice.info
     vi = v[graph_slice.fi]
@@ -64,7 +67,7 @@ def _block_hvp(poses, graph_slice: PoseGraph, v):
     hi = jnp.einsum("mab,ma->mb", Ji, wJv)
     hj = jnp.einsum("mab,ma->mb", Jj, wJv)
     N = poses.shape[0]
-    h = jnp.zeros((N, 3))
+    h = jnp.zeros((N, poses.shape[-1]))
     h = h.at[graph_slice.fi].add(hi, mode="drop")
     h = h.at[graph_slice.fj].add(hj, mode="drop")
     return h
@@ -77,7 +80,7 @@ def _block_diag(poses, graph_slice: PoseGraph):
     di = jnp.einsum("mab,ma,mab->mb", Ji, w, Ji)
     dj = jnp.einsum("mab,ma,mab->mb", Jj, w, Jj)
     N = poses.shape[0]
-    d = jnp.zeros((N, 3))
+    d = jnp.zeros((N, poses.shape[-1]))
     d = d.at[graph_slice.fi].add(di, mode="drop")
     d = d.at[graph_slice.fj].add(dj, mode="drop")
     return d
@@ -85,7 +88,7 @@ def _block_diag(poses, graph_slice: PoseGraph):
 
 def _anchor_terms(poses, graph: PoseGraph):
     ra = poses[0] - graph.anchor
-    ra = ra.at[2].set(wrap_angle(ra[2]))
+    ra = ra.at[-1].set(wrap_angle(ra[-1]))
     g = jnp.zeros_like(poses).at[0].add(graph.anchor_info * ra)
     return g
 
@@ -123,7 +126,8 @@ def gauss_newton_cg(graph: PoseGraph, mesh: Optional[Mesh] = None,
         diag = diag + damping
         minv = 1.0 / diag
 
-        anchor_mask = jnp.zeros((N, 3)).at[0].set(factor_slice.anchor_info)
+        anchor_mask = jnp.zeros(
+            (N, poses.shape[-1])).at[0].set(factor_slice.anchor_info)
 
         def hvp(v):
             return psum(_block_hvp(poses, factor_slice, v)) \
@@ -150,7 +154,7 @@ def gauss_newton_cg(graph: PoseGraph, mesh: Optional[Mesh] = None,
         (dx, _, _, _), _ = jax.lax.scan(cg_step, (x, r, z, p), None,
                                         length=cg_iters)
         new_poses = poses + dx
-        new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
+        new_poses = new_poses.at[:, -1].set(wrap_angle(new_poses[:, -1]))
         return new_poses
 
     def run(factor_slice: PoseGraph):
@@ -191,11 +195,11 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
     Poses are partitioned into contiguous blocks (one per device).  The step
     solves  (Hc + A^T W A) dx = -g  where Hc is the CHAIN Hessian (odometry
     factors + anchor + damping, block-tridiagonal) and A^T W A the loop
-    Hessian (L loop factors, rank <= 3 each).  The chain part is eliminated
+    Hessian (L loop factors, rank <= Dp each).  The chain part is eliminated
     by the distributed block-Schur reduction: each device assembles its
     dense window Hessian over (its B poses + the next block's first pose),
-    factors its interior ONCE, and contributes a reduced 6x6 system over the
-    block-boundary poses that is psum-reduced and solved redundantly.  The
+    factors its interior ONCE, and contributes a reduced 2Dp x 2Dp system
+    over the block-boundary poses that is psum-reduced and solved redundantly.  The
     SAME factorization is then reused to solve the 3L + 1 right-hand sides
     [g, A^T] in one shot, and the loop factors enter via the push-through
     identity
@@ -203,7 +207,7 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         (Hc + A^T W A)^{-1} g
             = y0 - X (I + W A X)^{-1} W A y0,   X = Hc^{-1} A^T, y0 = Hc^{-1} g
 
-    so the loop correction costs one extra [3L, 3L] replicated solve -- no
+    so the loop correction costs one extra [Dp L, Dp L] replicated solve -- no
     loss of exactness and no topology restriction (round 1 required the loop
     slots to be EMPTY; VERDICT round-1 item 6).
 
@@ -213,6 +217,7 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
             closures (valid or not).
     """
     N = graph.poses.shape[0]
+    Dp = graph.poses.shape[-1]          # 3 planar / 4 z-aware
     n_dev = mesh.devices.size
     assert N % n_dev == 0, "pad keyframes to a multiple of the mesh size"
     B = N // n_dev
@@ -239,8 +244,8 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         # makes the Woodbury correction exactly zero.
         lfi = jnp.zeros(1, graph.fi.dtype)
         lfj = jnp.ones(1, graph.fj.dtype)
-        ldelta = jnp.zeros((1, 3), graph.delta.dtype)
-        linfo = jnp.zeros((1, 3), graph.info.dtype)
+        ldelta = jnp.zeros((1, Dp), graph.delta.dtype)
+        linfo = jnp.zeros((1, Dp), graph.info.dtype)
         lvalid = jnp.zeros(1, bool)
     else:
         lfi, lfj = graph.fi[n_chain:], graph.fj[n_chain:]
@@ -255,7 +260,7 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         graph_slice = PoseGraph(poses=poses, fi=fi, fj=fj, delta=delta,
                                 info=info, factor_valid=valid,
                                 anchor=anchor, anchor_info=anchor_info)
-        r = factor_residuals(poses, graph_slice)                 # [B, 3]
+        r = factor_residuals(poses, graph_slice)                 # [B, Dp]
         Ji, Jj = factor_jacobians(poses, graph_slice)
         w = valid[:, None] * info
 
@@ -264,14 +269,14 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         li = jnp.where(valid, fi - base, B + 1)
         lj = jnp.where(valid, fj - base, B + 1)
 
-        D = 3 * (B + 1)
+        D = Dp * (B + 1)
         H = jnp.zeros((D, D))
 
         def scatter(H, J1, l1, J2, l2):
             # H[l1, l2] += J1^T W J2 for every factor (vectorized scatter).
-            blocks = jnp.einsum("ma,mab,mac->mbc", w, J1, J2)    # [B, 3, 3]
-            rows = (3 * l1[:, None] + jnp.arange(3)[None, :])    # [B, 3]
-            cols = (3 * l2[:, None] + jnp.arange(3)[None, :])
+            blocks = jnp.einsum("ma,mab,mac->mbc", w, J1, J2)    # [B, Dp, Dp]
+            rows = (Dp * l1[:, None] + jnp.arange(Dp)[None, :])  # [B, Dp]
+            cols = (Dp * l2[:, None] + jnp.arange(Dp)[None, :])
             return H.at[rows[:, :, None], cols[:, None, :]].add(
                 blocks, mode="drop")
 
@@ -285,17 +290,17 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         wr = w * r
         gci = jnp.einsum("mab,ma->mb", Ji, wr)
         gcj = jnp.einsum("mab,ma->mb", Jj, wr)
-        g = g.at[3 * li[:, None] + jnp.arange(3)[None, :]].add(
+        g = g.at[Dp * li[:, None] + jnp.arange(Dp)[None, :]].add(
             gci, mode="drop")
-        g = g.at[3 * lj[:, None] + jnp.arange(3)[None, :]].add(
+        g = g.at[Dp * lj[:, None] + jnp.arange(Dp)[None, :]].add(
             gcj, mode="drop")
 
         # Anchor on global pose 0 (device 0, local 0).
         anchor_w = jnp.where(idx == 0, 1.0, 0.0) * anchor_info
         ra = poses[0] - anchor
-        ra = ra.at[2].set(wrap_angle(ra[2]))
-        H = H.at[jnp.arange(3), jnp.arange(3)].add(anchor_w)
-        g = g.at[:3].add(anchor_w * ra)
+        ra = ra.at[-1].set(wrap_angle(ra[-1]))
+        H = H.at[jnp.arange(Dp), jnp.arange(Dp)].add(anchor_w)
+        g = g.at[:Dp].add(anchor_w * ra)
 
         H = H + damping * jnp.eye(D)
 
@@ -303,15 +308,15 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         loop_slice = PoseGraph(poses=poses, fi=lfi, fj=lfj, delta=ldelta,
                                info=linfo, factor_valid=lvalid,
                                anchor=anchor, anchor_info=anchor_info)
-        rl = factor_residuals(poses, loop_slice)                  # [L, 3]
+        rl = factor_residuals(poses, loop_slice)                  # [L, Dp]
         Jli, Jlj = factor_jacobians(poses, loop_slice)
-        wl = (lvalid[:, None] * linfo).reshape(-1)                # [3L]
+        wl = (lvalid[:, None] * linfo).reshape(-1)                # [Dp L]
         Lr = rl.shape[0]
-        # A [3L, 3N]: rows of loop-residual Jacobians.
-        A = jnp.zeros((3 * Lr, 3 * N))
-        lrow = (3 * jnp.arange(Lr)[:, None] + jnp.arange(3)[None, :])
-        ci = (3 * lfi[:, None] + jnp.arange(3)[None, :])
-        cj = (3 * lfj[:, None] + jnp.arange(3)[None, :])
+        # A [Dp L, Dp N]: rows of loop-residual Jacobians.
+        A = jnp.zeros((Dp * Lr, Dp * N))
+        lrow = (Dp * jnp.arange(Lr)[:, None] + jnp.arange(Dp)[None, :])
+        ci = (Dp * lfi[:, None] + jnp.arange(Dp)[None, :])
+        cj = (Dp * lfj[:, None] + jnp.arange(Dp)[None, :])
         A = A.at[lrow[:, :, None], ci[:, None, :]].add(Jli, mode="drop")
         A = A.at[lrow[:, :, None], cj[:, None, :]].add(Jlj, mode="drop")
 
@@ -319,54 +324,54 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         # contributions are OWNED by the device whose block holds the pose
         # (local rows 0..B-1 only) so the psum-reduced boundary system counts
         # each exactly once.
-        g_loop = (A.T @ (wl * rl.reshape(-1))).reshape(N, 3)      # [N, 3]
+        g_loop = (A.T @ (wl * rl.reshape(-1))).reshape(N, Dp)     # [N, Dp]
         own = jax.lax.dynamic_slice_in_dim(g_loop, base, B, axis=0)
-        g = g.at[:3 * B].add(own.reshape(-1))
+        g = g.at[:Dp * B].add(own.reshape(-1))
 
         # ---- right-hand sides: [g | A^T columns owned by this device] -----
         # Same ownership rule for A^T (replicated): zero the rows of poses
         # this device does not own, psum restores the full sum.
-        At_own = jax.lax.dynamic_slice(A.T, (3 * base, 0),
-                                       (3 * B, 3 * Lr))           # [3B, 3L]
-        rhs = jnp.zeros((D, 1 + 3 * Lr))
+        At_own = jax.lax.dynamic_slice(A.T, (Dp * base, 0),
+                                       (Dp * B, Dp * Lr))      # [Dp B, Dp L]
+        rhs = jnp.zeros((D, 1 + Dp * Lr))
         rhs = rhs.at[:, :1].set(g[:, None])
-        rhs = rhs.at[:3 * B, 1:].set(At_own)
+        rhs = rhs.at[:Dp * B, 1:].set(At_own)
 
         # ---- interior elimination (factor once, solve all RHS) ------------
         sep = jnp.array([0, B])
-        bsel = (3 * sep[:, None] + jnp.arange(3)[None, :]).reshape(-1)
-        isel = (3 * (1 + jnp.arange(B - 1))[:, None]
-                + jnp.arange(3)[None, :]).reshape(-1)
+        bsel = (Dp * sep[:, None] + jnp.arange(Dp)[None, :]).reshape(-1)
+        isel = (Dp * (1 + jnp.arange(B - 1))[:, None]
+                + jnp.arange(Dp)[None, :]).reshape(-1)
 
         Hbb = H[bsel[:, None], bsel[None, :]]
         Hbi = H[bsel[:, None], isel[None, :]]
         Hii = H[isel[:, None], isel[None, :]]
-        rb = rhs[bsel]                                            # [6, C]
+        rb = rhs[bsel]                                          # [2 Dp, C]
         ri = rhs[isel]                                            # [I, C]
 
         Hii_inv = jnp.linalg.solve(
-            Hii, jnp.concatenate([Hbi.T, ri], axis=1))            # [I, 6+C]
-        Hii_inv_Hib = Hii_inv[:, :6]
-        Hii_inv_ri = Hii_inv[:, 6:]
-        S_local = Hbb - Hbi @ Hii_inv_Hib                         # [6, 6]
-        y_local = rb - Hbi @ Hii_inv_ri                           # [6, C]
+            Hii, jnp.concatenate([Hbi.T, ri], axis=1))       # [I, 2 Dp + C]
+        Hii_inv_Hib = Hii_inv[:, :2 * Dp]
+        Hii_inv_ri = Hii_inv[:, 2 * Dp:]
+        S_local = Hbb - Hbi @ Hii_inv_Hib                     # [2 Dp, 2 Dp]
+        y_local = rb - Hbi @ Hii_inv_ri                       # [2 Dp, C]
 
         # ---- global boundary system (psum + redundant solve) --------------
         nb = n_dev + 1
         C = y_local.shape[1]
-        Sg = jnp.zeros((3 * nb, 3 * nb))
-        yg = jnp.zeros((3 * nb, C))
-        off = 3 * idx
-        rows = off + jnp.arange(6)
+        Sg = jnp.zeros((Dp * nb, Dp * nb))
+        yg = jnp.zeros((Dp * nb, C))
+        off = Dp * idx
+        rows = off + jnp.arange(2 * Dp)
         Sg = Sg.at[rows[:, None], rows[None, :]].add(S_local)
         yg = yg.at[rows].add(y_local)
         Sg = jax.lax.psum(Sg, axis_name)
         yg = jax.lax.psum(yg, axis_name)
         # The last boundary id (pose N, nonexistent) has empty rows.
-        Sg = Sg + 1e-12 * jnp.eye(3 * nb)
-        db = jnp.linalg.solve(Sg, yg)                             # [3 nb, C]
+        Sg = Sg + 1e-12 * jnp.eye(Dp * nb)
+        db = jnp.linalg.solve(Sg, yg)                           # [Dp nb, C]
 
-        db_local = jax.lax.dynamic_slice(db, (off, 0), (6, C))
+        db_local = jax.lax.dynamic_slice(db, (off, 0), (2 * Dp, C))
         di = Hii_inv_ri - Hii_inv_Hib @ db_local                  # [I, C]
         # Window solution for all RHS (rows = B+1 local poses).
         sol = jnp.zeros((D, C))
@@ -374,20 +379,20 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
         sol = sol.at[isel].set(di)
 
         # Owned rows of the global solutions Hc^{-1} [g | A^T]  [3B, C].
-        sol_own = sol[:3 * B]
-        y0_own = sol_own[:, 0]                                    # [3B]
-        X_own = sol_own[:, 1:]                                    # [3B, 3L]
+        sol_own = sol[:Dp * B]
+        y0_own = sol_own[:, 0]                                    # [Dp B]
+        X_own = sol_own[:, 1:]                                 # [Dp B, Dp L]
 
         # ---- Woodbury loop correction --------------------------------------
         # A y0 and A X need the full (cross-device) solutions: psum of the
         # owned-row partial products.
-        A_own = jax.lax.dynamic_slice(A, (0, 3 * base),
-                                      (3 * Lr, 3 * B))            # [3L, 3B]
-        Ay0 = jax.lax.psum(A_own @ y0_own, axis_name)             # [3L]
-        AX = jax.lax.psum(A_own @ X_own, axis_name)               # [3L, 3L]
-        K = jnp.eye(3 * Lr) + wl[:, None] * AX
-        corr = jnp.linalg.solve(K, wl * Ay0)                      # [3L]
-        dxb = -(y0_own - X_own @ corr).reshape(B, 3)
+        A_own = jax.lax.dynamic_slice(A, (0, Dp * base),
+                                      (Dp * Lr, Dp * B))       # [Dp L, Dp B]
+        Ay0 = jax.lax.psum(A_own @ y0_own, axis_name)             # [Dp L]
+        AX = jax.lax.psum(A_own @ X_own, axis_name)            # [Dp L, Dp L]
+        K = jnp.eye(Dp * Lr) + wl[:, None] * AX
+        corr = jnp.linalg.solve(K, wl * Ay0)                      # [Dp L]
+        dxb = -(y0_own - X_own @ corr).reshape(B, Dp)
 
         local_poses = jax.lax.dynamic_slice_in_dim(poses, base, B, axis=0)
         return local_poses + dxb
@@ -402,4 +407,4 @@ def schur_gn_step(graph: PoseGraph, mesh: Mesh, axis_name: str = "f",
     new_poses = fn(graph.poses, cfi, cfj, cdelta, cinfo, cvalid,
                    graph.anchor, graph.anchor_info,
                    lfi, lfj, ldelta, linfo, lvalid)
-    return new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
+    return new_poses.at[:, -1].set(wrap_angle(new_poses[:, -1]))

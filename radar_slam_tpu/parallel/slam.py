@@ -33,9 +33,11 @@ def targets_to_points(range_m: np.ndarray, azimuth_rad: np.ndarray,
 def refine_sequence_output(out, dt: float,
                            lc_cfg: LoopClosureConfig = LoopClosureConfig(),
                            mesh=None, solver: str = "cg",
-                           proposer: str = "pose") -> Dict:
+                           proposer: str = "pose",
+                           use_z: bool = False) -> Dict:
     """Refine a pipeline :class:`~radar_slam_tpu.pipeline.frame.FrameOutput`
-    sequence (scan or batched driver) with loop-closure pose-graph GN."""
+    sequence (scan or batched driver) with loop-closure pose-graph GN;
+    ``use_z`` feeds the solver's vertical rate into the z-aware graph."""
     from radar_slam_tpu.utils.host import device_get
 
     vel = device_get(out.motion.velocity)
@@ -44,7 +46,8 @@ def refine_sequence_output(out, dt: float,
     return refine_trajectory(
         vel, wz, ok, dt,
         frame_points=out.target_xy, frame_valid=out.target_valid,
-        lc_cfg=lc_cfg, mesh=mesh, solver=solver, proposer=proposer)
+        lc_cfg=lc_cfg, mesh=mesh, solver=solver, proposer=proposer,
+        use_z=use_z)
 
 
 def propose_weighted_loops(frame_points, frame_valid, open_poses,
@@ -96,7 +99,8 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
                       frame_valid: Optional[jax.Array] = None,
                       lc_cfg: LoopClosureConfig = LoopClosureConfig(),
                       mesh=None, gn_iters: int = 10, cg_iters: int = 60,
-                      solver: str = "cg", proposer: str = "pose") -> Dict:
+                      solver: str = "cg", proposer: str = "pose",
+                      use_z: bool = False) -> Dict:
     """Build + solve the pose graph for one sequence.
 
     Args:
@@ -114,6 +118,11 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
             estimates (``loopclosure.find_loop_closures``); "scancontext"
             -- descriptor retrieval independent of odometric drift
             (``scancontext.find_loop_closures_sc``).
+        use_z: optimize the z-aware (x, y, z, yaw) graph, consuming
+            ``velocities[:, 2]`` (VERDICT r04 item 8).  Loop-closure
+            proposals stay planar (xy scan matching); their z component
+            enters as a zero-delta row at 1% of the xy information, i.e. a
+            weak z-consistency hint rather than a measurement.
 
     Returns dict with open-loop poses [F+1, 3], refined poses [F+1, 3],
     accepted loop closures, and final graph cost.
@@ -140,16 +149,26 @@ def refine_trajectory(velocities: np.ndarray, yaw_rates: np.ndarray,
     cap = lc_cfg.max_candidates if frame_points is not None else 1
     graph = posegraph.from_velocities(
         jnp.asarray(velocities), jnp.asarray(yaw_rates),
-        jnp.asarray(success), dt, loop_capacity=cap)
+        jnp.asarray(success), dt, loop_capacity=cap, use_z=use_z)
     open_poses = np.asarray(graph.poses)
 
     loops = []
     if frame_points is not None:
+        lc_poses = (open_poses[:F][:, [0, 1, 3]] if use_z
+                    else open_poses[:F])
         loops, weighted = propose_weighted_loops(
-            frame_points, frame_valid, open_poses[:F], lc_cfg, proposer)
+            frame_points, frame_valid, lc_poses, lc_cfg, proposer)
         for slot, (i, j, delta, info) in enumerate(weighted[:cap]):
+            delta = np.asarray(delta, np.float32)
+            info = np.asarray(info, np.float32)
+            if use_z:
+                delta = np.array([delta[0], delta[1], 0.0, delta[2]],
+                                 np.float32)
+                info = np.array([info[0], info[1], 0.01 * info[0],
+                                 info[2]], np.float32)
             graph = posegraph.add_loop_closure(graph, slot, i, j,
-                                               jnp.asarray(delta), info)
+                                               jnp.asarray(delta),
+                                               jnp.asarray(info))
 
     if solver == "schur":
         poses = graph.poses

@@ -154,3 +154,23 @@ def test_refinement_schur_solver_on_mesh(eight_devices):
     # Both solvers land on comparable refined trajectories.
     assert abs(err_sc.max() - err_cg.max()) < 0.3, (err_sc.max(),
                                                     err_cg.max())
+
+
+def test_optimize_trajectory_z_aware():
+    """use_z=True (refine_trajectory): a trajectory with a vertical rate is recovered in z
+    while xy/yaw match the planar result (VERDICT r04 item 8)."""
+    rng = np.random.default_rng(3)
+    F = 24
+    v = np.tile(np.array([5.0, 0.0, 0.25], np.float32), (F, 1))
+    v += rng.normal(0, 0.02, v.shape).astype(np.float32)
+    wz = np.full(F, 0.05, np.float32)
+    ok = np.ones(F, bool)
+    out = slam.refine_trajectory(v, wz, ok, dt=0.1, use_z=True)
+    poses = np.asarray(out["poses"])
+    assert poses.shape == (F + 1, 4)
+    # z integrates ~0.025 m/frame
+    np.testing.assert_allclose(poses[-1, 2], 0.025 * F, atol=0.05)
+    out_planar = slam.refine_trajectory(v, wz, ok, dt=0.1)
+    np.testing.assert_allclose(poses[:, :2],
+                               np.asarray(out_planar["poses"])[:, :2],
+                               atol=1e-3)
