@@ -299,8 +299,42 @@ def adversarial_check(cfg):
         m["position_rmse"] <= 0.777)
 
 
+def chip_smoke():
+    """Run the chip-only numerics tier in a subprocess and return
+    (ok, n_passed) -- proof in every BENCH file that the compiled-Mosaic
+    tests ran on the real chip (VERDICT r04 item 9: through r04 they only
+    ran when someone remembered RADAR_SLAM_TEST_TPU=1).
+
+    MUST run before this process touches the backend: the tunnel serves
+    one client at a time, and a subprocess alongside an active parent
+    client can wedge it (docs/BENCHMARKS.md "tunnel hazards").  Selection
+    = the one-pass-kernel equivalence tier + the PRNG statistics tests --
+    the numerics only a real chip can validate (interpret-mode Mosaic
+    diverges; it once hid a NaN bug)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    env = dict(os.environ, RADAR_SLAM_TEST_TPU="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             "tests/test_frontend.py", "tests/test_synthpower.py",
+             "-k", "chip or tpu or noise"],
+            env=env, capture_output=True, text=True, timeout=1500)
+        m = re.search(r"(\d+) passed", r.stdout)
+        n = int(m.group(1)) if m else 0
+        return bool(r.returncode == 0 and n > 0), n
+    except subprocess.TimeoutExpired:
+        return False, 0
+
+
 def main():
     import dataclasses
+    import sys
+
+    chip_tests_ok, chip_tests_passed = (
+        (None, 0) if "--skip-chip-tests" in sys.argv else chip_smoke())
 
     from radar_slam_tpu.core.config import complete_analysis_config
     from radar_slam_tpu.evaluate.pose_metrics import planar_pose_errors
@@ -397,6 +431,8 @@ def main():
         "rig_pos_rmse_m": rig_rmse,
         "rig_ok": rig_ok,
         "stage_us_per_64f": stage_us,
+        "chip_tests_ok": chip_tests_ok,
+        "chip_tests_passed": chip_tests_passed,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
