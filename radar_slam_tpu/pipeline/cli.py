@@ -254,11 +254,14 @@ def _cmd_analyze_rig(args, cfg) -> int:
                               max_scatterers=cfg.max_scatterers))
         gt_poses = np.asarray(gt["poses"])
 
-    from radar_slam_tpu.io.prefetch import (is_host_resident,
-                                            process_sequence_rig_prefetch)
+    from radar_slam_tpu.io.prefetch import (
+        is_host_resident, process_sequence_rig_batched_prefetch)
     if is_host_resident(batches):
-        out = process_sequence_rig_prefetch(batches, jax.random.key(0),
-                                            cfg, rig)
+        # Chunked-batched ingest: phase A per uploaded chunk (one-pass
+        # kernel over the chunk x sensor grid) overlapping the next DMA,
+        # one whole-sequence phase B (VERDICT r04 item 1).
+        out = process_sequence_rig_batched_prefetch(
+            batches, jax.random.key(0), cfg, rig)
     else:
         # Two-phase batched rig driver (4.1x the sequential scan on chip;
         # scripts/bench_rig.py) -- same driver choice as the merged path

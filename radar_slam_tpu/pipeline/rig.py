@@ -265,9 +265,20 @@ def sequence_features_rig(scatterers: ScattererBatch, key: jax.Array,
 
     Returns the ``frame_features`` tuple with leading axes [F, B, ...].
     """
+    return _features_from_frame_keys(scatterers,
+                                     jax.random.split(
+                                         key, scatterers.range_m.shape[0]),
+                                     cfg, rig)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rig"))
+def _features_from_frame_keys(scatterers: ScattererBatch, keys_f: jax.Array,
+                              cfg: PipelineConfig, rig: Rig):
+    """Phase A from PRE-SPLIT per-frame keys [F] (the prefetch driver
+    feeds chunks of the same global key sequence, so chunked phase A is
+    exactly the one-shot phase A restricted to those frames)."""
     F, B = scatterers.range_m.shape[:2]
-    keys_fb = jax.vmap(lambda k: jax.random.split(k, B))(
-        jax.random.split(key, F))                               # [F, B]
+    keys_fb = jax.vmap(lambda k: jax.random.split(k, B))(keys_f)  # [F, B]
     flat = jax.tree.map(
         lambda x: x.reshape((F * B,) + x.shape[2:]), scatterers)
 
@@ -309,15 +320,24 @@ def process_sequence_rig_batched(scatterers: ScattererBatch, key: jax.Array,
     equality) and the clutter map EMA -- strictly sequential through
     detection -- is ignored (``clutter_map_alpha`` defaults 0).
     """
+    features = sequence_features_rig(scatterers, key, cfg, rig)  # [F, B, ..]
+    return _rig_sequence_from_features(features, cfg, rig, rotate_pose)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rig", "rotate_pose"))
+def _rig_sequence_from_features(features, cfg: PipelineConfig, rig: Rig,
+                                rotate_pose: bool = True) -> FrameOutput:
+    """Phase B of the batched rig driver (smoothing -> merge -> solve ->
+    pose) from phase-A features [F, B, ...]; shared with the prefetch
+    driver, which accumulates features chunk by chunk."""
     from radar_slam_tpu.pipeline.frame import (_batched_assoc_solve,
                                                _pose_prefix)
 
-    F, B = scatterers.range_m.shape[:2]
+    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
+     conf) = features
+    F, B = det.range_bin.shape[:2]
     K = cfg.detection.max_detections
     mount_xy, mount_yaw = rig_arrays(rig)
-
-    (det, sigs, keep, num_sources, is_multi, angles_deg, el_deg,
-     conf) = sequence_features_rig(scatterers, key, cfg, rig)   # [F, B, ...]
 
     # Phase B1: temporal smoothing per sensor (each sensor owns its own
     # track table in the sequential driver; vmap over the sensor axis).

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--frames", type=int, nargs=2, default=(32, 160))
     ap.add_argument("--scan", action="store_true",
                     help="also time the sequential rig scan driver")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="also time the host-resident chunked-batched "
+                         "prefetch driver (the real-data ingest path)")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(complete_analysis_config(), max_scatterers=128)
@@ -95,6 +98,16 @@ def main():
             lambda: rigmod.process_sequence_rig(b1, key, cfg, RIG4),
             lambda: rigmod.process_sequence_rig(b2, key, cfg, RIG4))
         res["rig_scan_fps"] = round((f2 - f1) / max(t2s - t1s, 1e-9), 1)
+    if args.prefetch:
+        import jax as _jax
+
+        from radar_slam_tpu.io.prefetch import (
+            process_sequence_rig_batched_prefetch as pf)
+        h1 = _jax.tree.map(np.asarray, b1)
+        h2 = _jax.tree.map(np.asarray, b2)
+        t1p, t2p = time_pair(lambda: pf(h1, key, cfg, RIG4, chunk=32),
+                             lambda: pf(h2, key, cfg, RIG4, chunk=32))
+        res["rig_prefetch_fps"] = round((f2 - f1) / max(t2p - t1p, 1e-9), 1)
     print(json.dumps(res))
 
 

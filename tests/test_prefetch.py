@@ -90,3 +90,38 @@ def test_prefetch_rig_bitwise_equal():
                                                  chunk=4)
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+@pytest.mark.slow
+def test_rig_batched_prefetch_matches_one_shot():
+    """The chunked-batched rig prefetch driver (host-resident ingest) must
+    reproduce the one-shot batched rig driver: same global key split, same
+    phase A per frame, one shared phase B."""
+    import dataclasses
+
+    from radar_slam_tpu.io.prefetch import (
+        process_sequence_rig_batched_prefetch)
+    from radar_slam_tpu.io.synthetic import (SceneConfig,
+                                             constant_motion_scene_rig)
+    from radar_slam_tpu.pipeline import rig as rigmod
+
+    rig = ((1.8, 0.9, 0.4), (1.8, -0.9, -0.4))
+    cfg = dataclasses.replace(
+        CFG, aoa=dataclasses.replace(CFG.aoa, track_capacity=256))
+    batches, _ = constant_motion_scene_rig(
+        11, num_frames=10, dt=cfg.frame_dt, v_body=(8.0, 0.5),
+        yaw_rate=0.25, rig=rig,
+        scene=SceneConfig(num_points=48, max_scatterers=cfg.max_scatterers,
+                          fov_rad=1.8))
+    host = jax.tree.map(lambda x: np.asarray(x), batches)
+    a = rigmod.process_sequence_rig_batched(batches, jax.random.key(0),
+                                            cfg, rig)
+    # chunk=4 with F=10 exercises padding + multi-chunk accumulation.
+    b = process_sequence_rig_batched_prefetch(host, jax.random.key(0),
+                                              cfg, rig, chunk=4)
+    np.testing.assert_allclose(np.asarray(b.pose), np.asarray(a.pose),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b.motion.success),
+                                  np.asarray(a.motion.success))
+    np.testing.assert_array_equal(np.asarray(b.num_reliable),
+                                  np.asarray(a.num_reliable))
