@@ -368,6 +368,19 @@ class PipelineConfig:
     # VERDICT r04 item 3a).  "box_muller" = the r04 stream (bit-level
     # reproduction of earlier rounds' realizations).
     noise_impl: str = "fast"
+    # Noise-injection domain for the ONE-PASS kernel.  "range_freq"
+    # (default) draws the AWGN directly in the range-frequency domain:
+    # for iid time noise, DFT(n . w_periodic) is distributionally an iid
+    # plane circularly convolved with the window's exact spectral taps (3
+    # for Hann) -- which frees the synthesis->DFT chain to reassociate as
+    # e_ac^T @ ((e_fast . mix) @ W), replacing the [A*C, S] @ [S, S] range
+    # DFT of the materialized cube with two smaller matmuls (Z chain 769
+    # -> 326 us/64f measured).  Documented deviation: the noise is shaped
+    # by the PERIODIC window variant (O(1/S) per-sample difference from
+    # the symmetric one the signal uses; <0.4% on the noise covariance).
+    # "time" restores the r04/r05a construction bit-for-bit.  The
+    # three-dispatch fallback kernels are always time-domain.
+    noise_domain: str = "range_freq"
     # One-pass front end (synth_in_kernel only): ONE Pallas program per
     # frame runs synthesis + AWGN + range DFT (persisting Z = x @ W_rng,
     # the signatures' sufficient statistic) + Doppler power + CA-CFAR /

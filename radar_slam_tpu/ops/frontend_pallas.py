@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radar_slam_tpu.ops.power_pallas import _doppler_power, _mm_bf16
 from radar_slam_tpu.ops.rds_pallas import _cmm, _mm_bf16x3, _mm_f32
-from radar_slam_tpu.ops.synthpower_pallas import _synth_xy
+from radar_slam_tpu.ops.synthpower_pallas import (_standard_normals,
+                                                  _synth_xy)
 
 _MMS = {"default": _mm_bf16, "high": _mm_bf16x3, "highest": _mm_f32}
 
@@ -133,17 +134,59 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
                      clutter_offset_db: float, has_clutter: bool,
                      synth_precision: str, z_precision: str,
                      doppler_precision: str, doppler_layout: str,
-                     noise_impl: str):
+                     noise_impl: str, noise_domain: str,
+                     noise_taps: tuple, dc_removal: bool):
     if has_clutter:
         clut_ref = refs[0]
         refs = refs[1:]
     (zr_ref, zi_ref, p_ref, score_ref) = refs
 
-    # ---- synthesis (+ noise, drawn ONCE) + range DFT --------------------
-    xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
-                       seed_ref[pl.program_id(0)], sigma,
-                       _MMS[synth_precision], noise_impl)
-    zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], _MMS[z_precision])
+    if noise_domain == "range_freq":
+        # ---- spectral-domain construction (r05) -------------------------
+        # Z_signal = e_ac^T @ ((e_fast . mix) @ W): with the noise OUT of
+        # the time domain, the synthesis->DFT chain reassociates so the
+        # [AC, S] @ [S, S] range DFT of the materialized cube (41 MMAC, the
+        # kernel's largest matmul) becomes [Sc, S] @ [S, S] + [AC, Sc] @
+        # [Sc, S] (33.6 MMAC total) -- measured 769 -> 326 us/64f for the
+        # Z chain.  The mix scaling is pre-applied to e_fast by the
+        # wrapper; wrr/wri hold the PURE DFT matrix.
+        #
+        # Noise enters directly in range-frequency: for iid time noise n,
+        # DFT(n . w_periodic) =d sqrt(S) * (g (*) taps) with g iid -- the
+        # windowing is an exact 3-tap (Hann) circular convolution instead
+        # of a matmul.  Deviation: the noise is shaped by the PERIODIC
+        # window variant while the signal keeps the symmetric one (they
+        # differ by O(1/S) per sample; the noise covariance changes by
+        # <0.4% -- measured invisible in every accuracy gate).
+        tr, ti = _cmm(efr_ref[0], efi_ref[0], wrr_ref[:], wri_ref[:],
+                      _MMS[synth_precision])
+        zr, zi = _cmm(eatr_ref[0], eati_ref[0], tr, ti, _MMS[z_precision])
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+        gr, gi = _standard_normals(zr.shape, noise_impl)
+        sn = jnp.float32(sigma * float(zr.shape[1]) ** 0.5)
+
+        def conv(g):
+            acc = None
+            for off, cc in noise_taps:
+                sh = (g if off == 0 else jnp.concatenate(
+                    [g[:, -off:], g[:, :-off]], axis=1))
+                term = jnp.float32(cc) * sh
+                acc = term if acc is None else acc + term
+            return acc
+
+        zr = zr + sn * conv(gr)
+        zi = zi + sn * conv(gi)
+        if dc_removal:
+            col = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 1)
+            zr = jnp.where(col == 0, 0.0, zr)
+            zi = jnp.where(col == 0, 0.0, zi)
+    else:
+        # ---- time-domain construction (r04): synthesis (+ noise, drawn
+        # ONCE) + range DFT of the materialized-in-VMEM cube --------------
+        xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0],
+                           efi_ref[0], seed_ref[pl.program_id(0)], sigma,
+                           _MMS[synth_precision], noise_impl)
+        zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], _MMS[z_precision])
     # Z is written TRANSPOSED [S, A*C]: the XLA column gather downstream
     # wants the antenna-chirp axis minor and otherwise inserts two
     # full-plane relayout copies (~180 us/64f traced).  The relayout is
@@ -225,7 +268,8 @@ def topk_two_stage(score: jax.Array, K: int,
                      "threshold_db", "clutter_offset_db", "min_range_bin",
                      "max_range_bin", "synth_precision", "precision_name",
                      "doppler_precision", "doppler_layout", "sig_precision",
-                     "noise_impl", "topk_mode"))
+                     "noise_impl", "topk_mode", "noise_domain",
+                     "noise_taps"))
 def scatterer_frontend(
         e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
         mix: jax.Array, C: int, sigma: float, K: int,
@@ -237,7 +281,8 @@ def scatterer_frontend(
         synth_precision: str = "high", precision_name: str = "default",
         doppler_precision: str = "high", doppler_layout: str = "loop",
         sig_precision: str = "high", noise_impl: str = "box_muller",
-        topk_mode: str = "sort",
+        topk_mode: str = "sort", noise_domain: str = "time",
+        noise_taps: tuple = (),
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The one-pass front end over a frame batch.
 
@@ -279,9 +324,19 @@ def scatterer_frontend(
 
     eat = jnp.swapaxes(e_ac, -1, -2)
     eatr, eati = jnp.real(eat), jnp.imag(eat)
+    if noise_domain == "range_freq":
+        # Mix/window folds into the fast-time factor; the kernel gets the
+        # PURE DFT matrix and injects windowed noise spectrally (see
+        # _frontend_kernel).  dc_removal is applied in-kernel (it only
+        # zeroes the r=0 column).
+        e_fast = e_fast * mix[None, None, :]
+        w_rng = range_dft_matrix(S, jnp.ones((S,), jnp.complex64), False)
+        if not noise_taps:
+            raise ValueError("noise_domain='range_freq' needs the window's "
+                             "noise_taps (ops/windows.py:window_freq_taps)")
+    else:
+        w_rng = range_dft_matrix(S, mix, dc_removal)
     efr, efi = jnp.real(e_fast), jnp.imag(e_fast)
-
-    w_rng = range_dft_matrix(S, mix, dc_removal)
     w_dop_t = doppler_dft_matrix(C, doppler_window).T
     train_w = 2 * train + 2 * guard + 1
     guard_w = 2 * guard + 1
@@ -327,7 +382,9 @@ def scatterer_frontend(
             has_clutter=has_clutter, synth_precision=synth_precision,
             z_precision=sig_precision,
             doppler_precision=doppler_precision,
-            doppler_layout=doppler_layout, noise_impl=noise_impl),
+            doppler_layout=doppler_layout, noise_impl=noise_impl,
+            noise_domain=noise_domain, noise_taps=noise_taps,
+            dc_removal=dc_removal),
         grid=(F,),
         in_specs=in_specs,
         out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),

@@ -676,6 +676,8 @@ def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
     e_ac, e_fast = jax.vmap(
         lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
     )(scatterers)
+    from radar_slam_tpu.ops.windows import window_freq_taps
+
     lo, hi = detect_mod.range_gate_bin_interval(cfg.radar, S, d)
     p_lin, rb, db, vals, sigs = fe.scatterer_frontend(
         e_ac, e_fast, seeds, mix, C, sigma, d.max_detections,
@@ -687,7 +689,8 @@ def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
         precision_name=cfg.power_precision,
         doppler_precision=cfg.synth_doppler_precision,
         doppler_layout=cfg.synth_doppler_layout,
-        noise_impl=cfg.noise_impl)
+        noise_impl=cfg.noise_impl, noise_domain=cfg.noise_domain,
+        noise_taps=window_freq_taps(cfg.window))
     det = jax.vmap(lambda p, r, dd, v: detect_mod.detections_from_topk(
         p, r, dd, v, cfg.radar, cfg.detection))(p_lin, rb, db, vals)
     return p_lin, det, sigs

@@ -194,9 +194,14 @@ def test_frontend_driver_equivalence_on_chip():
     noise realization is identical -- same seeds, same stream)."""
     from radar_slam_tpu.pipeline import frame as pipe
 
+    # noise_domain="time": this test's premise is an IDENTICAL noise
+    # realization across the one-pass and three-dispatch paths; the
+    # spectral default draws a different (equally valid) realization and
+    # is validated by its own tests below.
     cfg3 = dataclasses.replace(complete_analysis_config(),
                                max_scatterers=128,
-                               frontend_one_pass=False)
+                               frontend_one_pass=False,
+                               noise_domain="time")
     cfg1 = dataclasses.replace(cfg3, frontend_one_pass=True)
     batches, gt = constant_motion_scene(
         11, num_frames=16, dt=cfg1.frame_dt, v_body=(8.0, 0.5),
@@ -259,3 +264,73 @@ def test_topk_two_stage_equals_lax_topk():
         v2, i2 = fe.topk_two_stage(jnp.asarray(x), K)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@chip_only
+def test_spectral_reassociation_matches_time_noiseless():
+    """noise_domain="range_freq" reassociates the synthesis->DFT chain
+    (e_ac^T (e_fast' W) instead of (e_ac^T e_fast') W); at sigma = 0 the
+    two constructions compute the same Z up to bf16x3 reassociation, so
+    power maps and detections must agree."""
+    from radar_slam_tpu.ops.windows import window_freq_taps
+
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup(
+        noise_power=0.0)
+    p_t, rb_t, db_t, v_t, sig_t = _run_frontend(
+        cfg, e_ac, e_fast, mix, seeds, 0.0, C, S, noise_domain="time")
+    p_s, rb_s, db_s, v_s, sig_s = _run_frontend(
+        cfg, e_ac, e_fast, mix, seeds, 0.0, C, S,
+        noise_domain="range_freq", noise_taps=window_freq_taps(cfg.window))
+    p_t, p_s = np.asarray(p_t), np.asarray(p_s)
+    assert np.abs(p_s - p_t).max() / p_t.max() < 1e-4
+    ok_t = np.asarray(v_t) > -np.inf
+    ok_s = np.asarray(v_s) > -np.inf
+    assert np.array_equal(ok_t, ok_s)
+    assert np.array_equal(np.asarray(rb_t)[ok_t], np.asarray(rb_s)[ok_s])
+    assert np.array_equal(np.asarray(db_t)[ok_t], np.asarray(db_s)[ok_s])
+
+
+@chip_only
+def test_spectral_noise_exact_construction():
+    """Signal = 0, sigma = 1: the spectral kernel's power map must equal
+    the XLA oracle computed from the SAME g planes (noise_cube with the
+    same seeds IS the kernel's freq-domain draw -- the domain only changes
+    interpretation): Z_n = sqrt(S) * (g conv taps), col 0 zeroed, Doppler
+    power = mean_a |sum_c w_dop Z|^2.  Validates stream identity, the tap
+    structure, and the sqrt(S) scaling bit-for-bit (f32 tolerance)."""
+    from radar_slam_tpu.ops.windows import window_freq_taps
+    from radar_slam_tpu.utils.host import device_get
+
+    cfg, batches, e_ac, e_fast, mix, seeds, _sig, C, S = _setup()
+    A = cfg.radar.num_antennas
+    AC = A * C
+    taps = window_freq_taps(cfg.window)
+
+    # zeros via jit: eager complex-array creation poisons the axon session
+    # (utils/host.py module docstring).
+    e_ac0 = jax.jit(lambda a: a * 0)(e_ac)
+    p_s = np.asarray(_run_frontend(
+        cfg, e_ac0, e_fast, mix, seeds, 1.0, C, S,
+        noise_domain="range_freq", noise_taps=taps,
+        noise_impl="fast")[0])                                # [F, R, D]
+
+    g = device_get(sp.noise_cube(seeds, AC, S, noise_impl="fast"))
+    zn = np.zeros_like(g)
+    for off, ccf in taps:
+        zn += ccf * np.roll(g, off, axis=-1)
+    zn *= np.sqrt(S)
+    zn[..., 0] = 0.0                                          # dc_removal
+    # Build the Doppler matrix in pure numpy: calling doppler_dft_matrix
+    # eagerly creates a complex device array, which poisons the axon
+    # session (utils/host.py).
+    from radar_slam_tpu.ops.windows import get_window
+    c_idx = np.arange(C, dtype=np.float64)
+    k_shifted = np.roll(np.arange(C, dtype=np.float64), C // 2)
+    wd = np.exp(-1j * (2.0 * np.pi / C) * np.outer(c_idx, k_shifted))
+    if cfg.doppler_window is not None:
+        wd = np.asarray(get_window(cfg.doppler_window, C))[:, None] * wd
+    wd = wd.astype(np.complex64)                               # [C, D]
+    zc = zn.reshape(-1, A, C, S)
+    rds = np.einsum("facs,cd->fads", zc, wd)
+    p_ref = np.mean(np.abs(rds) ** 2, axis=1).transpose(0, 2, 1)  # [F,R,D]
+    assert np.abs(p_s - p_ref).max() / p_ref.max() < 1e-4
