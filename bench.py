@@ -25,18 +25,20 @@ and each dispatch pays a ~1-2 ms synchronous round trip):
 Regression gates, ratcheted to the measured state +- ~10-20% rather than
 round numbers (VERDICT r03 item 7; the round-2 lesson was a 0.395 -> 0.538
 drift passing unremarked):
-- ``pos_err_bound_ok``: final open-loop pose error <= 0.5 m over the 51 m /
-  64-frame path (recorded: r02 0.538, r03 0.465, r04 0.409);
-- ``pos_rmse_ok``: trajectory position RMSE <= 0.22 m (r04: 0.182);
+- ``pos_err_bound_ok``: final open-loop pose error <= 0.35 m over the 51 m /
+  64-frame path (recorded: r02 0.538, r03 0.465, r04 0.409, r05 0.256);
+- ``pos_rmse_ok``: trajectory position RMSE <= 0.16 m (r04 0.182,
+  r05 0.120 on the spectral-noise realization);
 - ``adversarial_ok``: a movers+clutter mismatch scene must stay inside the
   reference parity bound (position RMSE <= 0.777 m);
 - ``music_ok``: the same scene with the REFERENCE'S step-3 default
-  estimator (MUSIC) must hold <= 0.25 m position RMSE (r03 measured
-  0.386 before the null-function refinement fix, r04 0.169 after);
+  estimator (MUSIC) must hold <= 0.15 m position RMSE (r03 0.386 before
+  the null-function refinement fix, r04 0.169, r05 0.108 with the
+  closed-form subspace + spectral noise);
 - ``scan_ok``: sequential scan-driver floor 3,800 frames/s (r04: 4,155);
 - ``chunked_ok``: the chunked sequential-semantics driver (batched phase A
   per window + Jacobi prior; the throughput path for scan-semantics
-  workloads) floor 15,000 frames/s (r05: 26,634 @ window=16);
+  workloads) floor 20,000 frames/s (r05: 26,634-31,717 @ window=16);
 - ``rig_ok``: the batched 4-sensor mounted-rig driver (the path real
   RadarScenes data auto-routes to) must hold >= 7,000 rig-frames/s and
   <= 0.10 m position RMSE on its bench scene (r05 measured: 10,109 fps
@@ -380,8 +382,8 @@ def main():
     pose_err = float(np.linalg.norm(pose_np[-1][:2] - gt_np[-1][:2]))
     pos_rmse = round(float(
         planar_pose_errors(pose_np, gt_np)["position_rmse"]), 3)
-    pos_err_bound_ok = pose_err <= 0.5          # r02 0.538, r03 0.465, r04 0.409
-    pos_rmse_ok = pos_rmse <= 0.22              # r04 0.182
+    pos_err_bound_ok = pose_err <= 0.35         # r04 0.409, r05 0.256
+    pos_rmse_ok = pos_rmse <= 0.16              # r04 0.182, r05 0.120
     adv_rmse, adversarial_ok = adversarial_check(cfg)
 
     # Reference's step-3 default estimator (MUSIC) regression guard, with
@@ -394,10 +396,10 @@ def main():
     fps_music = (f2 - f1) / max(t2m - t1m, 1e-9)
     music_rmse = round(float(planar_pose_errors(
         np.asarray(out_music.pose), gt_np)["position_rmse"]), 3)
-    music_ok = music_rmse <= 0.25               # r04 0.169 after null-fn fix
+    music_ok = music_rmse <= 0.15               # r05 0.108
 
     scan_ok = fps_scan >= 3800.0                # r04 4,155
-    chunked_ok = fps_chunked >= 15000.0         # r05 26,634 @ w=16
+    chunked_ok = fps_chunked >= 20000.0         # r05 26,634-31,717 @ w=16
     rig_fps, rig_rmse, rig_ok = rig_check(cfg)  # r05 10,109 fps / 0.039 m
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
             and adversarial_ok and music_ok and scan_ok and chunked_ok

@@ -391,8 +391,11 @@ def scatterer_frontend(
         out_shape=(kc((S, AC), jnp.float32), kc((S, AC), jnp.float32),
                    kc((C, S), jnp.float32), kc((C, S), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=F * (6 * AC * Sc * S        # synthesis matmul
-                       + 18 * AC * S * S      # range DFT (bf16x3)
+            flops=F * ((  # spectral: T = ef' W then eat T (both bf16x3);
+                          # time: synth (bf16x3) + range DFT (bf16x3)
+                18 * Sc * S * S + 18 * AC * Sc * S
+                if noise_domain == "range_freq"
+                else 18 * AC * Sc * S + 18 * AC * S * S)
                        + 6 * AC * S * C       # Doppler DFT
                        + 4 * AC * S           # power + mean
                        + 4 * C * S * (S + C)),  # CFAR band matmuls
