@@ -143,13 +143,14 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
 
     if noise_domain == "range_freq":
         # ---- spectral-domain construction (r05) -------------------------
-        # Z_signal = e_ac^T @ ((e_fast . mix) @ W): with the noise OUT of
-        # the time domain, the synthesis->DFT chain reassociates so the
-        # [AC, S] @ [S, S] range DFT of the materialized cube (41 MMAC, the
-        # kernel's largest matmul) becomes [Sc, S] @ [S, S] + [AC, Sc] @
-        # [Sc, S] (33.6 MMAC total) -- measured 769 -> 326 us/64f for the
-        # Z chain.  The mix scaling is pre-applied to e_fast by the
-        # wrapper; wrr/wri hold the PURE DFT matrix.
+        # Z_signal = e_ac^T @ (e_fast @ diag(mix) W): with the noise OUT
+        # of the time domain, the synthesis->DFT chain reassociates so
+        # the [AC, S] @ [S, S] range DFT of the materialized cube (41
+        # MMAC, the kernel's largest matmul) becomes [Sc, S] @ [S, S] +
+        # [AC, Sc] @ [Sc, S] (33.6 MMAC total) -- measured 769 -> 326
+        # us/64f for the Z chain.  wrr/wri hold the SAME mix-and-dc
+        # folded constant as the time branch (mix commutes into it), so
+        # the in-kernel dc zeroing below only matters for the noise.
         #
         # Noise enters directly in range-frequency: for iid time noise n,
         # DFT(n . w_periodic) =d sqrt(S) * (g (*) taps) with g iid -- the
@@ -324,18 +325,17 @@ def scatterer_frontend(
 
     eat = jnp.swapaxes(e_ac, -1, -2)
     eatr, eati = jnp.real(eat), jnp.imag(eat)
-    if noise_domain == "range_freq":
-        # Mix/window folds into the fast-time factor; the kernel gets the
-        # PURE DFT matrix and injects windowed noise spectrally (see
-        # _frontend_kernel).  dc_removal is applied in-kernel (it only
-        # zeroes the r=0 column).
-        e_fast = e_fast * mix[None, None, :]
-        w_rng = range_dft_matrix(S, jnp.ones((S,), jnp.complex64), False)
-        if not noise_taps:
-            raise ValueError("noise_domain='range_freq' needs the window's "
-                             "noise_taps (ops/windows.py:window_freq_taps)")
-    else:
-        w_rng = range_dft_matrix(S, mix, dc_removal)
+    # Both domains use the SAME mix-and-dc-folded DFT constant: for the
+    # spectral branch the mix commutes into the [S, S] matrix
+    # ((e_fast . mix) @ W == e_fast @ (diag(mix) W)), so no per-frame
+    # elementwise scaling is needed -- a first cut scaled e_fast in XLA
+    # and the trace showed it as a 1,094 us/512f multiply_add_fusion
+    # moving ~210 MB of HBM.  The in-kernel dc column zeroing then only
+    # has to cover the NOISE (the signal's col 0 is already zero).
+    w_rng = range_dft_matrix(S, mix, dc_removal)
+    if noise_domain == "range_freq" and not noise_taps:
+        raise ValueError("noise_domain='range_freq' needs the window's "
+                         "noise_taps (ops/windows.py:window_freq_taps)")
     efr, efi = jnp.real(e_fast), jnp.imag(e_fast)
     w_dop_t = doppler_dft_matrix(C, doppler_window).T
     train_w = 2 * train + 2 * guard + 1
