@@ -381,6 +381,13 @@ class PipelineConfig:
     # "time" restores the r04/r05a construction bit-for-bit.  The
     # three-dispatch fallback kernels are always time-domain.
     noise_domain: str = "range_freq"
+    # Top-K selection on the one-pass kernel's masked score map.
+    # "two_stage" = segmented exact selection (topk_two_stage): at the
+    # r05c operating point it wins e2e in four of four interleaved
+    # one-process trials (+0.5% to +9%, median +3.4%) -- the program got
+    # fast enough that lax.top_k's full-sort lowering stopped hiding
+    # behind other work.  "sort" = plain lax.top_k (the r04 default).
+    frontend_topk: str = "two_stage"
     # One-pass front end (synth_in_kernel only): ONE Pallas program per
     # frame runs synthesis + AWGN + range DFT (persisting Z = x @ W_rng,
     # the signatures' sufficient statistic) + Doppler power + CA-CFAR /

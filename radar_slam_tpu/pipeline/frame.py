@@ -690,7 +690,8 @@ def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
         doppler_precision=cfg.synth_doppler_precision,
         doppler_layout=cfg.synth_doppler_layout,
         noise_impl=cfg.noise_impl, noise_domain=cfg.noise_domain,
-        noise_taps=window_freq_taps(cfg.window))
+        noise_taps=window_freq_taps(cfg.window),
+        topk_mode=cfg.frontend_topk)
     det = jax.vmap(lambda p, r, dd, v: detect_mod.detections_from_topk(
         p, r, dd, v, cfg.radar, cfg.detection))(p_lin, rb, db, vals)
     return p_lin, det, sigs
