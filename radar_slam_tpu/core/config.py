@@ -388,6 +388,20 @@ class PipelineConfig:
     # fast enough that lax.top_k's full-sort lowering stopped hiding
     # behind other work.  "sort" = plain lax.top_k (the r04 default).
     frontend_topk: str = "two_stage"
+    # Synthesis-factor layout for the one-pass kernel.  "split" (default)
+    # ships the per-axis phase tables (ant [Sc, A], dopp [Sc, C], coarse
+    # [Sc, S/B], fine [Sc, B=128]; signal/synth.py:SplitFactors) and
+    # recomposes e_ac^T / e_fast in VMEM: ~3.4x less factor HBM per frame
+    # and ~2.4x fewer host-side exp-cycle evaluations than materializing
+    # the dense [Sc, A*C] + [Sc, S] planes in XLA (the factor stage the
+    # r05 trace put at ~8% of the batched step).  Measured (chip,
+    # interleaved paired 1024-frame trials): -1.0 ms min / -1.4 ms median
+    # per 1024 frames (~2-4% of device time) at equal accuracy (RMSE
+    # 0.124 vs 0.122 m); a B=16 selection-matmul variant measured a wash
+    # (K=16/25-class MXU passes ate the savings) and was replaced by the
+    # register-aligned B=128 broadcast composition.  "dense" = the
+    # materialized r04/r05 layout, bit-identical to earlier rounds.
+    frontend_factors: str = "split"
     # One-pass front end (synth_in_kernel only): ONE Pallas program per
     # frame runs synthesis + AWGN + range DFT (persisting Z = x @ W_rng,
     # the signatures' sufficient statistic) + Doppler power + CA-CFAR /

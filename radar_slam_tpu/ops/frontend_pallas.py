@@ -124,18 +124,20 @@ def _cfar_threshold(p1, bs_t, bd_t, bs_g, bd_g, *, train: int, guard: int,
                        jnp.float32(threshold_db))
 
 
-def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
-                     wrr_ref, wri_ref, wdtr_ref, wdti_ref,
-                     bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
-                     *refs,
-                     A: int, C: int, sigma: float,
-                     train: int, guard: int, neighborhood: int,
-                     offset_db: float, threshold_db: float,
-                     clutter_offset_db: float, has_clutter: bool,
-                     synth_precision: str, z_precision: str,
-                     doppler_precision: str, doppler_layout: str,
-                     noise_impl: str, noise_domain: str,
-                     noise_taps: tuple, dc_removal: bool):
+def _frontend_body(eatr, eati, efr, efi, seed,
+                   wrr_ref, wri_ref, wdtr_ref, wdti_ref,
+                   bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
+                   refs,
+                   A: int, C: int, sigma: float,
+                   train: int, guard: int, neighborhood: int,
+                   offset_db: float, threshold_db: float,
+                   clutter_offset_db: float, has_clutter: bool,
+                   synth_precision: str, z_precision: str,
+                   doppler_precision: str, doppler_layout: str,
+                   noise_impl: str, noise_domain: str,
+                   noise_taps: tuple, dc_removal: bool):
+    """Shared kernel body: factors (already VMEM values) -> Z + power +
+    CFAR score map.  Called by the dense- and split-factor kernels."""
     if has_clutter:
         clut_ref = refs[0]
         refs = refs[1:]
@@ -159,10 +161,10 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
         # window variant while the signal keeps the symmetric one (they
         # differ by O(1/S) per sample; the noise covariance changes by
         # <0.4% -- measured invisible in every accuracy gate).
-        tr, ti = _cmm(efr_ref[0], efi_ref[0], wrr_ref[:], wri_ref[:],
+        tr, ti = _cmm(efr, efi, wrr_ref[:], wri_ref[:],
                       _MMS[synth_precision])
-        zr, zi = _cmm(eatr_ref[0], eati_ref[0], tr, ti, _MMS[z_precision])
-        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+        zr, zi = _cmm(eatr, eati, tr, ti, _MMS[z_precision])
+        pltpu.prng_seed(seed)
         gr, gi = _standard_normals(zr.shape, noise_impl)
         sn = jnp.float32(sigma * float(zr.shape[1]) ** 0.5)
 
@@ -184,8 +186,7 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
     else:
         # ---- time-domain construction (r04): synthesis (+ noise, drawn
         # ONCE) + range DFT of the materialized-in-VMEM cube --------------
-        xr, xi = _synth_xy(eatr_ref[0], eati_ref[0], efr_ref[0],
-                           efi_ref[0], seed_ref[pl.program_id(0)], sigma,
+        xr, xi = _synth_xy(eatr, eati, efr, efi, seed, sigma,
                            _MMS[synth_precision], noise_impl)
         zr, zi = _cmm(xr, xi, wrr_ref[:], wri_ref[:], _MMS[z_precision])
     # Z is written TRANSPOSED [S, A*C]: the XLA column gather downstream
@@ -227,6 +228,76 @@ def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
     score_ref[0] = jnp.where(mask, pd, jnp.float32(_NEG))
 
 
+def _frontend_kernel(seed_ref, eatr_ref, eati_ref, efr_ref, efi_ref,
+                     wrr_ref, wri_ref, wdtr_ref, wdti_ref,
+                     bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
+                     *refs, **statics):
+    """Dense-factor kernel: e_ac^T / e_fast arrive materialized."""
+    _frontend_body(eatr_ref[0], eati_ref[0], efr_ref[0], efi_ref[0],
+                   seed_ref[pl.program_id(0)],
+                   wrr_ref, wri_ref, wdtr_ref, wdti_ref,
+                   bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
+                   refs, **statics)
+
+
+def _frontend_kernel_split(seed_ref, antr_ref, anti_ref, dopr_ref, dopi_ref,
+                           cor_ref, coi_ref, fir_ref, fii_ref, tau_ref,
+                           tvec_ref,
+                           wrr_ref, wri_ref, wdtr_ref, wdti_ref,
+                           bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
+                           *refs, echo_upper, S: int, **statics):
+    """Split-factor kernel: recompose e_at [AC, Sc] and e_fast [Sc, S] in
+    VMEM from the per-axis tables (``signal/synth.py:SplitFactors``) --
+    ~5x less HBM input per frame and ~3x fewer host-side exps than the
+    dense layout.
+
+    e_at rows a*C+c are row-broadcast complex products dopp_T * ant_T[a];
+    e_fast block q (lane-register-width B = 128 columns) is the
+    column-broadcast complex product coarse[:, q] * fine -- a first cut
+    expanded via 0/1 selection matmuls (B = 16), whose [*, 16/25]-class
+    K dimensions cost ~90 us/64f of MXU pass overhead and measured a
+    wash e2e; B = 128 makes the concat seams register-aligned and the
+    composition pure VPU broadcast multiplies.  The echo gate
+    [t_s >= tau_sc] (and the reference-fidelity upper gate
+    t_s - tau_sc <= T) is re-evaluated here on the same t vector the
+    host builds, so the mask matches ``synthesis_factors`` bitwise.
+    """
+    A = statics["A"]
+    dopr, dopi = dopr_ref[0], dopi_ref[0]               # [C, Sc]
+    antr, anti = antr_ref[0], anti_ref[0]               # [A, Sc]
+    eatr_b, eati_b = [], []
+    for a in range(A):
+        ar, ai = antr[a:a + 1, :], anti[a:a + 1, :]     # [1, Sc] broadcast
+        eatr_b.append(dopr * ar - dopi * ai)
+        eati_b.append(dopr * ai + dopi * ar)
+    eatr = jnp.concatenate(eatr_b, axis=0)              # [AC, Sc]
+    eati = jnp.concatenate(eati_b, axis=0)
+
+    cor, coi = cor_ref[0], coi_ref[0]                   # [Sc, Q]
+    fir, fii = fir_ref[0], fii_ref[0]                   # [Sc, B]
+    B = fir.shape[1]
+    Q = cor.shape[1]
+    er_b, ei_b = [], []
+    for q in range(Q):
+        cr, ci = cor[:, q:q + 1], coi[:, q:q + 1]       # [Sc, 1] broadcast
+        w = min(B, S - q * B)                           # tail block width
+        fr_, fi_ = fir[:, :w], fii[:, :w]
+        er_b.append(cr * fr_ - ci * fi_)                # [Sc, w]
+        ei_b.append(cr * fi_ + ci * fr_)
+    efr = er_b[0] if Q == 1 else jnp.concatenate(er_b, axis=1)
+    efi = ei_b[0] if Q == 1 else jnp.concatenate(ei_b, axis=1)
+    tvec, tau = tvec_ref[:], tau_ref[0]                 # [1, S], [Sc, 1]
+    arrived = (tvec >= tau).astype(jnp.float32)
+    if echo_upper is not None:
+        arrived = arrived * (tvec - tau
+                             <= jnp.float32(echo_upper)).astype(jnp.float32)
+    _frontend_body(eatr, eati, efr * arrived, efi * arrived,
+                   seed_ref[pl.program_id(0)],
+                   wrr_ref, wri_ref, wdtr_ref, wdti_ref,
+                   bs_t_ref, bd_t_ref, bs_g_ref, bd_g_ref, gate_ref,
+                   refs, **statics)
+
+
 def _band(n: int, half: int) -> jax.Array:
     i = jnp.arange(n)
     return (jnp.abs(i[:, None] - i[None, :]) <= half).astype(jnp.float32)
@@ -260,6 +331,88 @@ def topk_two_stage(score: jax.Array, K: int,
     v2, i2 = jax.lax.top_k(v1.reshape(F, G * K), K)
     idx = jnp.take_along_axis(gidx.reshape(F, G * K), i2, axis=1)
     return v2, idx
+
+
+def _common_consts(C: int, S: int, mix, dc_removal: bool,
+                   doppler_window, train: int, guard: int,
+                   min_range_bin: int, max_range_bin: int):
+    """Frame-independent kernel inputs shared by the dense- and
+    split-factor wrappers: folded range-DFT constant, Doppler DFT^T,
+    CFAR band matrices, range gate.  Returns (operands, specs)."""
+    from radar_slam_tpu.signal.rds import doppler_dft_matrix, range_dft_matrix
+
+    w_rng = range_dft_matrix(S, mix, dc_removal)
+    w_dop_t = doppler_dft_matrix(C, doppler_window).T
+    train_w = 2 * train + 2 * guard + 1
+    guard_w = 2 * guard + 1
+    bs_t = _band(S, train_w // 2)
+    bd_t = _band(C, train_w // 2)
+    bs_g = _band(S, guard_w // 2) if guard > 0 else jnp.zeros((S, S),
+                                                             jnp.float32)
+    bd_g = _band(C, guard_w // 2) if guard > 0 else jnp.zeros((C, C),
+                                                              jnp.float32)
+    s = jnp.arange(S)
+    gate = (((s >= min_range_bin) & (s <= max_range_bin))
+            .astype(jnp.float32)[None, :])                  # [1, S]
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda f: (0,) * len(shape), memory_space=pltpu.VMEM)
+    operands = [jnp.real(w_rng).astype(jnp.float32),
+                jnp.imag(w_rng).astype(jnp.float32),
+                jnp.real(w_dop_t).astype(jnp.float32),
+                jnp.imag(w_dop_t).astype(jnp.float32),
+                bs_t, bd_t, bs_g, bd_g, gate]
+    specs = [const((S, S)), const((S, S)), const((C, C)), const((C, C)),
+             const((S, S)), const((C, C)), const((S, S)), const((C, C)),
+             const((1, S))]
+    return operands, specs
+
+
+def _finalize(zr, zi, p_ds, score_ds, K: int, A: int, C: int,
+              doppler_window, topk_mode: str):
+    """XLA tail on the kernel's outputs: top-K selection on the masked
+    score map + signatures as exact Z-column gathers (see the docstring
+    of ``scatterer_frontend`` for the measured design rationale)."""
+    from radar_slam_tpu.signal.rds import get_window
+
+    F = p_ds.shape[0]
+    S = zr.shape[1]
+    p_lin = jnp.swapaxes(p_ds, -1, -2)                      # [F, R, D]
+    score = jnp.swapaxes(score_ds, -1, -2).reshape(F, S * C)
+    if topk_mode == "two_stage":
+        vals, idx = topk_two_stage(score, K)                # [F, K]
+    else:
+        vals, idx = jax.lax.top_k(score, K)                 # [F, K]
+    rb = (idx // C).astype(jnp.int32)
+    db = (idx % C).astype(jnp.int32)
+    valid = vals > jnp.float32(_NEG * 0.1)
+    vals = jnp.where(valid, vals, -jnp.inf)
+
+    # signature[f, k, a] = sum_c w_dop[c, f(d_k)] * Z[f, r_k, a*C+c]
+    # -- EXACTLY detection_signatures' math, with Z's rows gathered
+    # instead of recomputed (the Doppler column d of doppler_dft_matrix is
+    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).  The
+    # kernel emits Z transposed so the gathered axis is major and the
+    # re/im planes are gathered separately: materializing complex Z (or
+    # letting XLA relayout it for the gather) cost full-plane copies.
+    rbk = rb[:, :, None]
+    zcols = (jnp.take_along_axis(zr, rbk, axis=1)
+             + 1j * jnp.take_along_axis(zi, rbk, axis=1)
+             ).astype(jnp.complex64)                        # [F, K, AC]
+    zcols = zcols.reshape(F, K, A, C)
+    c_idx = jnp.arange(C, dtype=jnp.float32)
+    f_shift = jnp.mod(db - C // 2, C).astype(jnp.float32)   # [F, K]
+    w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C)
+                    * c_idx[None, :, None] * f_shift[:, None, :])
+    if doppler_window is not None:
+        wd = get_window(doppler_window, C).astype(jnp.float32)
+        w_dop = wd[None, :, None] * w_dop
+    sig = jnp.einsum("fkac,fck->fka", zcols,
+                     w_dop.astype(jnp.complex64),
+                     precision=jax.lax.Precision.HIGHEST)   # [F, K, A]
+    power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
+    sig = jnp.where(power > 0,
+                    sig / jnp.sqrt(jnp.maximum(power, 1e-30)), sig)
+    return p_lin, rb, db, vals, sig.astype(jnp.complex64)
 
 
 @functools.partial(
@@ -316,9 +469,6 @@ def scatterer_frontend(
         Bins are RAW picks (pre-NMS, pre-zeroing); feed them to
         ``signal/detect.py:detections_from_topk``.
     """
-    from radar_slam_tpu.signal.rds import (doppler_dft_matrix, get_window,
-                                           range_dft_matrix)
-
     F, Sc, AC = e_ac.shape
     S = e_fast.shape[-1]
     A = AC // C
@@ -332,41 +482,22 @@ def scatterer_frontend(
     # and the trace showed it as a 1,094 us/512f multiply_add_fusion
     # moving ~210 MB of HBM.  The in-kernel dc column zeroing then only
     # has to cover the NOISE (the signal's col 0 is already zero).
-    w_rng = range_dft_matrix(S, mix, dc_removal)
     if noise_domain == "range_freq" and not noise_taps:
         raise ValueError("noise_domain='range_freq' needs the window's "
                          "noise_taps (ops/windows.py:window_freq_taps)")
     efr, efi = jnp.real(e_fast), jnp.imag(e_fast)
-    w_dop_t = doppler_dft_matrix(C, doppler_window).T
-    train_w = 2 * train + 2 * guard + 1
-    guard_w = 2 * guard + 1
-    bs_t = _band(S, train_w // 2)
-    bd_t = _band(C, train_w // 2)
-    bs_g = _band(S, guard_w // 2) if guard > 0 else jnp.zeros((S, S),
-                                                             jnp.float32)
-    bd_g = _band(C, guard_w // 2) if guard > 0 else jnp.zeros((C, C),
-                                                              jnp.float32)
-    s = jnp.arange(S)
-    gate = (((s >= min_range_bin) & (s <= max_range_bin))
-            .astype(jnp.float32)[None, :])                  # [1, S]
+    c_ops, c_specs = _common_consts(C, S, mix, dc_removal, doppler_window,
+                                    train, guard, min_range_bin,
+                                    max_range_bin)
 
     fr = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda f: (f,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(
-        shape, lambda f: (0,) * len(shape), memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     in_specs = [seed_spec, fr((AC, Sc)), fr((AC, Sc)), fr((Sc, S)),
-                fr((Sc, S)), const((S, S)), const((S, S)), const((C, C)),
-                const((C, C)), const((S, S)), const((C, C)), const((S, S)),
-                const((C, C)), const((1, S))]
-    operands = [seeds.astype(jnp.int32), eatr, eati, efr, efi,
-                jnp.real(w_rng).astype(jnp.float32),
-                jnp.imag(w_rng).astype(jnp.float32),
-                jnp.real(w_dop_t).astype(jnp.float32),
-                jnp.imag(w_dop_t).astype(jnp.float32),
-                bs_t, bd_t, bs_g, bd_g, gate]
+                fr((Sc, S))] + c_specs
+    operands = [seeds.astype(jnp.int32), eatr, eati, efr, efi] + c_ops
     has_clutter = clutter is not None
     if has_clutter:
         in_specs.append(fr((C, S)))
@@ -406,51 +537,132 @@ def scatterer_frontend(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*operands)
 
-    # ---- selection + signatures in XLA on the kernel's outputs ----------
-    p_lin = jnp.swapaxes(p_ds, -1, -2)                      # [F, R, D]
-    # Selection: plain lax.top_k by default.  Its full-sort lowering
-    # traced at ~880 us/64f at r04b, where the segmented-exact alternative
-    # (topk_two_stage) measured SLOWER end to end (15.8k vs 16.3k fps).
-    # Re-measured at the r05 operating point ("fast" noise, 2x faster
-    # program): ISOLATED two_stage now wins (514 vs 672 us/64f chained)
-    # but e2e is a WASH (39.96k vs 39.76k fps, interleaved one-process
-    # trials; an initial cross-process 47k-vs-40k reading was window
-    # drift) -- XLA overlaps the sort with surrounding work, so the
-    # isolated win doesn't survive.  Default stays "sort"; the measured
-    # knob stays for operating points where selection dominates.
-    score = jnp.swapaxes(score_ds, -1, -2).reshape(F, S * C)
-    if topk_mode == "two_stage":
-        vals, idx = topk_two_stage(score, K)                # [F, K]
-    else:
-        vals, idx = jax.lax.top_k(score, K)                 # [F, K]
-    rb = (idx // C).astype(jnp.int32)
-    db = (idx % C).astype(jnp.int32)
-    valid = vals > jnp.float32(_NEG * 0.1)
-    vals = jnp.where(valid, vals, -jnp.inf)
+    # Selection + signatures in XLA on the kernel's outputs.  Selection:
+    # plain lax.top_k by default at r04; its full-sort lowering traced at
+    # ~880 us/64f, and the segmented-exact topk_two_stage flipped from a
+    # measured e2e loss (r04b: 15.8k vs 16.3k fps) to a measured e2e win
+    # (r05c: +3.4% median, four of four interleaved one-process trials)
+    # as the surrounding program got faster -- config knob
+    # ``PipelineConfig.frontend_topk`` carries the current default.
+    return _finalize(zr, zi, p_ds, score_ds, K, A, C, doppler_window,
+                     topk_mode)
 
-    # signature[f, k, a] = sum_c w_dop[c, f(d_k)] * Z[f, r_k, a*C+c]
-    # -- EXACTLY detection_signatures' math, with Z's rows gathered
-    # instead of recomputed (the Doppler column d of doppler_dft_matrix is
-    # window * e^{-2j pi c f(d) / C}, f(d) = (d - C//2) mod C).  The
-    # kernel emits Z transposed so the gathered axis is major and the
-    # re/im planes are gathered separately: materializing complex Z (or
-    # letting XLA relayout it for the gather) cost full-plane copies.
-    rbk = rb[:, :, None]
-    zcols = (jnp.take_along_axis(zr, rbk, axis=1)
-             + 1j * jnp.take_along_axis(zi, rbk, axis=1)
-             ).astype(jnp.complex64)                        # [F, K, AC]
-    zcols = zcols.reshape(F, K, A, C)
-    c_idx = jnp.arange(C, dtype=jnp.float32)
-    f_shift = jnp.mod(db - C // 2, C).astype(jnp.float32)   # [F, K]
-    w_dop = jnp.exp(-1j * (2.0 * jnp.pi / C)
-                    * c_idx[None, :, None] * f_shift[:, None, :])
-    if doppler_window is not None:
-        wd = get_window(doppler_window, C).astype(jnp.float32)
-        w_dop = wd[None, :, None] * w_dop
-    sig = jnp.einsum("fkac,fck->fka", zcols,
-                     w_dop.astype(jnp.complex64),
-                     precision=jax.lax.Precision.HIGHEST)   # [F, K, A]
-    power = jnp.sum(jnp.abs(sig) ** 2, axis=-1, keepdims=True)
-    sig = jnp.where(power > 0,
-                    sig / jnp.sqrt(jnp.maximum(power, 1e-30)), sig)
-    return p_lin, rb, db, vals, sig.astype(jnp.complex64)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "K", "sigma", "dc_removal", "doppler_window",
+                     "train", "guard", "neighborhood", "offset_db",
+                     "threshold_db", "clutter_offset_db", "min_range_bin",
+                     "max_range_bin", "synth_precision",
+                     "doppler_precision", "doppler_layout", "sig_precision",
+                     "noise_impl", "topk_mode", "noise_domain",
+                     "noise_taps", "echo_upper"))
+def scatterer_frontend_split(
+        ant: jax.Array, dopp: jax.Array, coarse: jax.Array,
+        fine: jax.Array, tau: jax.Array, t: jax.Array, seeds: jax.Array,
+        mix: jax.Array, C: int, sigma: float, K: int,
+        *, train: int, guard: int, neighborhood: int, offset_db: float,
+        threshold_db: float, min_range_bin: int, max_range_bin: int,
+        clutter: Optional[jax.Array] = None,
+        clutter_offset_db: float = 6.0,
+        dc_removal: bool = True, doppler_window: Optional[str] = None,
+        synth_precision: str = "high",
+        doppler_precision: str = "high", doppler_layout: str = "loop",
+        sig_precision: str = "high", noise_impl: str = "box_muller",
+        topk_mode: str = "sort", noise_domain: str = "time",
+        noise_taps: tuple = (), echo_upper: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``scatterer_frontend`` fed SPLIT synthesis factors
+    (``signal/synth.py:synthesis_factors_split``): the kernel recomposes
+    e_ac^T and e_fast in VMEM from per-axis tables instead of reading the
+    materialized [Sc, A*C] + [Sc, S] complex planes from HBM.
+
+    Per frame the factor input drops from (AC + S) * Sc complex values to
+    (A + C + Q + B) * Sc + Sc (~3.4x at the production operating point,
+    B = 128) and the host-side transcendental count from Sc * (S + AC)
+    exp-cycle evaluations to Sc * (S/B + B + A + C) -- the factor stage
+    the r05 trace put at ~8% of the whole batched step.
+
+    Args (beyond ``scatterer_frontend``):
+        ant/dopp/coarse/fine/tau: batched SplitFactors fields
+            ([F, Sc, A], [F, Sc, C], [F, Sc, Q], [F, Sc, B], [F, Sc]).
+        t: [S] fast-time base (``signal/synth.py:fast_time_base``) -- the
+            echo gate is re-evaluated in-kernel against the same values
+            the dense path compares.
+        echo_upper: reference-fidelity upper echo gate
+            ``t - tau <= echo_upper`` (``RadarConfig.chirp_duration``),
+            None for the "tpu" fidelity (no upper gate).
+    """
+    F, Sc, A = ant.shape
+    B = fine.shape[-1]
+    Q = coarse.shape[-1]
+    S = t.shape[0]
+    AC = A * C
+
+    if noise_domain == "range_freq" and not noise_taps:
+        raise ValueError("noise_domain='range_freq' needs the window's "
+                         "noise_taps (ops/windows.py:window_freq_taps)")
+    c_ops, c_specs = _common_consts(C, S, mix, dc_removal, doppler_window,
+                                    train, guard, min_range_bin,
+                                    max_range_bin)
+    ant_t = jnp.swapaxes(ant, -1, -2)                       # [F, A, Sc]
+    dopp_t = jnp.swapaxes(dopp, -1, -2)                     # [F, C, Sc]
+
+    fr = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda f: (f,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda f: (0,) * len(shape), memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [seed_spec, fr((A, Sc)), fr((A, Sc)), fr((C, Sc)),
+                fr((C, Sc)), fr((Sc, Q)), fr((Sc, Q)), fr((Sc, B)),
+                fr((Sc, B)), fr((Sc, 1)), const((1, S))] + c_specs
+    operands = [seeds.astype(jnp.int32),
+                jnp.real(ant_t), jnp.imag(ant_t),
+                jnp.real(dopp_t), jnp.imag(dopp_t),
+                jnp.real(coarse), jnp.imag(coarse),
+                jnp.real(fine), jnp.imag(fine),
+                tau.astype(jnp.float32)[:, :, None],
+                t.astype(jnp.float32)[None, :]] + c_ops
+    has_clutter = clutter is not None
+    if has_clutter:
+        in_specs.append(fr((C, S)))
+        operands.append(jnp.swapaxes(clutter, -1, -2)
+                        .astype(jnp.float32))               # [F, D, R]
+
+    kc = lambda shape, dt: jax.ShapeDtypeStruct((F,) + shape, dt)
+    zr, zi, p_ds, score_ds = pl.pallas_call(
+        functools.partial(
+            _frontend_kernel_split, echo_upper=echo_upper, S=S,
+            A=A, C=C, sigma=sigma, train=train,
+            guard=guard, neighborhood=neighborhood, offset_db=offset_db,
+            threshold_db=threshold_db, clutter_offset_db=clutter_offset_db,
+            has_clutter=has_clutter, synth_precision=synth_precision,
+            z_precision=sig_precision,
+            doppler_precision=doppler_precision,
+            doppler_layout=doppler_layout, noise_impl=noise_impl,
+            noise_domain=noise_domain, noise_taps=noise_taps,
+            dc_removal=dc_removal),
+        grid=(F,),
+        in_specs=in_specs,
+        out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),
+        out_shape=(kc((S, AC), jnp.float32), kc((S, AC), jnp.float32),
+                   kc((C, S), jnp.float32), kc((C, S), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=F * ((18 * Sc * S * S + 18 * AC * Sc * S
+                        if noise_domain == "range_freq"
+                        else 18 * AC * Sc * S + 18 * AC * S * S)
+                       + 8 * Sc * S + 6 * AC * Sc  # factor composition
+                       + 6 * AC * S * C
+                       + 4 * AC * S
+                       + 4 * C * S * (S + C)),
+            bytes_accessed=F * (2 * Sc * (A + C + Q + B) * 4
+                                + 2 * AC * S * 4 + 2 * C * S * 4),
+            transcendentals=F * (4 * AC * S + 2 * C * S)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*operands)
+
+    return _finalize(zr, zi, p_ds, score_ds, K, A, C, doppler_window,
+                     topk_mode)

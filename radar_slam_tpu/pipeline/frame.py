@@ -673,25 +673,41 @@ def _onepass_frontend(scatterers: ScattererBatch, seeds: jax.Array,
     sigma = float(cfg.radar.noise_power) ** 0.5
     d = cfg.detection
     mix = _mix_vector(cfg.radar, cfg.window, "baseband", S)
-    e_ac, e_fast = jax.vmap(
-        lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
-    )(scatterers)
     from radar_slam_tpu.ops.windows import window_freq_taps
 
     lo, hi = detect_mod.range_gate_bin_interval(cfg.radar, S, d)
-    p_lin, rb, db, vals, sigs = fe.scatterer_frontend(
-        e_ac, e_fast, seeds, mix, C, sigma, d.max_detections,
+    common = dict(
         train=d.cfar_train_cells, guard=d.guard_cells,
         neighborhood=d.neighborhood, offset_db=d.cfar_offset_db,
         threshold_db=d.threshold_db, min_range_bin=lo, max_range_bin=hi,
         clutter=clutter, clutter_offset_db=d.clutter_offset_db,
         doppler_window=cfg.doppler_window,
-        precision_name=cfg.power_precision,
         doppler_precision=cfg.synth_doppler_precision,
         doppler_layout=cfg.synth_doppler_layout,
         noise_impl=cfg.noise_impl, noise_domain=cfg.noise_domain,
         noise_taps=window_freq_taps(cfg.window),
         topk_mode=cfg.frontend_topk)
+    if cfg.frontend_factors == "split":
+        from radar_slam_tpu.signal.synth import (fast_time_base,
+                                                 synthesis_factors_split)
+        split = jax.vmap(
+            lambda s: synthesis_factors_split(s, cfg.radar,
+                                              cfg.synth_fidelity)
+        )(scatterers)
+        t = fast_time_base(cfg.radar, cfg.synth_fidelity)
+        echo_upper = (cfg.radar.chirp_duration
+                      if cfg.synth_fidelity == "reference" else None)
+        p_lin, rb, db, vals, sigs = fe.scatterer_frontend_split(
+            split.ant, split.dopp, split.coarse, split.fine, split.tau,
+            t, seeds, mix, C, sigma, d.max_detections,
+            echo_upper=echo_upper, **common)
+    else:
+        e_ac, e_fast = jax.vmap(
+            lambda s: synthesis_factors(s, cfg.radar, cfg.synth_fidelity)
+        )(scatterers)
+        p_lin, rb, db, vals, sigs = fe.scatterer_frontend(
+            e_ac, e_fast, seeds, mix, C, sigma, d.max_detections,
+            precision_name=cfg.power_precision, **common)
     det = jax.vmap(lambda p, r, dd, v: detect_mod.detections_from_topk(
         p, r, dd, v, cfg.radar, cfg.detection))(p_lin, rb, db, vals)
     return p_lin, det, sigs

@@ -334,3 +334,115 @@ def test_spectral_noise_exact_construction():
     rds = np.einsum("facs,cd->fads", zc, wd)
     p_ref = np.mean(np.abs(rds) ** 2, axis=1).transpose(0, 2, 1)  # [F,R,D]
     assert np.abs(p_s - p_ref).max() / p_ref.max() < 1e-4
+
+
+def _split_setup(fid, num_frames=3):
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup(num_frames)
+    from radar_slam_tpu.signal.synth import (fast_time_base,
+                                             synthesis_factors_split)
+    e_ac, e_fast = jax.jit(jax.vmap(
+        lambda s: synthesis_factors(s, cfg.radar, fid)))(batches)
+    sp_f = jax.jit(jax.vmap(
+        lambda s: synthesis_factors_split(s, cfg.radar, fid)))(batches)
+    t = fast_time_base(cfg.radar, fid)
+    eu = cfg.radar.chirp_duration if fid == "reference" else None
+    return cfg, e_ac, e_fast, sp_f, t, eu, mix, seeds, sigma, C, S
+
+
+@interpret_only          # pure-XLA guard; eager complex ops poison axon
+@pytest.mark.parametrize("fid", ["tpu", "reference"])
+def test_split_factors_compose_to_dense(fid):
+    """signal/synth.py:synthesis_factors_split: the per-axis tables must
+    recompose to the dense factors -- e_ac EXACTLY (the dense path builds
+    it from the same outer product), e_fast to f32 phase-rounding
+    tolerance (the split evaluates exp at const - beat*(t[qB] + t[j])
+    versus the dense const - beat*t[qB+j]; both round a ~200-cycle
+    argument, so they are two ~1 ulp realizations of the same phase)."""
+    cfg, e_ac, e_fast, sp_f, t, eu, *_ = _split_setup(fid)
+    S = e_fast.shape[-1]
+    B = sp_f.fine.shape[-1]
+    Q = sp_f.coarse.shape[-1]
+    comp_fast = (jnp.repeat(sp_f.coarse, B, axis=-1)[..., :S]
+                 * jnp.tile(sp_f.fine, (1, 1, Q))[..., :S])
+    gate = (t[None, None, :] >= sp_f.tau[..., None]).astype(jnp.float32)
+    if eu is not None:
+        gate = gate * ((t[None, None, :] - sp_f.tau[..., None]) <= eu)
+    comp_fast = np.asarray(comp_fast * gate)
+    comp_ac = np.asarray((sp_f.ant[..., :, None]
+                          * sp_f.dopp[..., None, :]).reshape(e_ac.shape))
+    assert np.abs(comp_ac - np.asarray(e_ac)).max() == 0.0
+    assert np.abs(comp_fast - np.asarray(e_fast)).max() < 2e-3
+    assert np.abs(comp_fast - np.asarray(e_fast)).mean() < 1e-4
+
+
+def _run_frontend_split(cfg, sp_f, t, eu, mix, seeds, sigma, C, S, **prec):
+    d = cfg.detection
+    lo, hi = detect_mod.range_gate_bin_interval(cfg.radar, S, d)
+    return fe.scatterer_frontend_split(
+        sp_f.ant, sp_f.dopp, sp_f.coarse, sp_f.fine, sp_f.tau, t,
+        seeds, mix, C, sigma, d.max_detections,
+        train=d.cfar_train_cells, guard=d.guard_cells,
+        neighborhood=d.neighborhood, offset_db=d.cfar_offset_db,
+        threshold_db=d.threshold_db, min_range_bin=lo, max_range_bin=hi,
+        doppler_window=cfg.doppler_window, echo_upper=eu, **prec)
+
+
+def _assert_split_matches_dense(outs_d, outs_s, power_rtol, sig_atol):
+    from radar_slam_tpu.utils.host import device_get
+    p1, rb1, db1, v1, s1 = device_get(tuple(outs_d))
+    p2, rb2, db2, v2, s2 = device_get(tuple(outs_s))
+    assert np.abs(p1 - p2).max() / p1.max() < power_rtol
+    val1, val2 = v1 > -np.inf, v2 > -np.inf
+    F = p1.shape[0]
+    set1 = {(f, int(r), int(d)) for f in range(F)
+            for r, d, ok in zip(rb1[f], db1[f], val1[f]) if ok}
+    set2 = {(f, int(r), int(d)) for f in range(F)
+            for r, d, ok in zip(rb2[f], db2[f], val2[f]) if ok}
+    assert set1, "no detections"
+    # Identical noise stream (same Z shape -> same PRNG draw), ~1e-5
+    # relative power difference: allow at most one borderline CFAR flip.
+    assert len(set1 ^ set2) <= 1, (len(set1 ^ set2), len(set1))
+    both = val1 & val2 & (rb1 == rb2) & (db1 == db2)
+    assert both.sum() >= 0.95 * val1.sum()
+    assert np.abs(s1[both] - s2[both]).max() < sig_atol
+
+
+@interpret_only
+@pytest.mark.parametrize("fid", ["tpu", "reference"])
+def test_frontend_split_matches_dense_interpret(fid):
+    """ops/frontend_pallas.py:scatterer_frontend_split: in-VMEM factor
+    recomposition must reproduce the dense kernel's outputs (identical
+    degenerate interpret PRNG): same detection set, power to composed-
+    phase rounding, signatures to unit-norm tolerance."""
+    cfg, e_ac, e_fast, sp_f, t, eu, mix, seeds, sigma, C, S = \
+        _split_setup(fid)
+    prec = dict(synth_precision="highest", doppler_precision="highest",
+                sig_precision="highest")
+    with pltpu.force_tpu_interpret_mode():
+        outs_d = _run_frontend(cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+                               precision_name="highest", **prec)
+        outs_s = _run_frontend_split(cfg, sp_f, t, eu, mix, seeds, sigma,
+                                     C, S, **prec)
+        _assert_split_matches_dense(outs_d, outs_s, power_rtol=5e-4,
+                                    sig_atol=0.02)
+
+
+@chip_only
+def test_frontend_split_matches_dense_on_chip():
+    """Same as the interpret tier but compiled Mosaic at the PRODUCTION
+    precision/noise operating point (spectral noise, fast Gaussian): the
+    split path must hold the dense path's detections and signatures with
+    the real in-kernel PRNG stream (identical for both: Z has the same
+    shape, so the draw order is unchanged)."""
+    from radar_slam_tpu.ops.windows import window_freq_taps
+
+    cfg, e_ac, e_fast, sp_f, t, eu, mix, seeds, sigma, C, S = \
+        _split_setup("tpu")
+    prec = dict(noise_domain="range_freq",
+                noise_taps=window_freq_taps(cfg.window), noise_impl="fast")
+    outs_d = _run_frontend(cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+                           **prec)
+    outs_s = _run_frontend_split(cfg, sp_f, t, eu, mix, seeds, sigma,
+                                 C, S, **prec)
+    _assert_split_matches_dense(outs_d, outs_s, power_rtol=2e-3,
+                                sig_atol=0.05)
