@@ -90,6 +90,65 @@ def _window_counts(shape, dim: int, pad: int) -> jax.Array:
     return (jnp.minimum(i + pad, n - 1) - jnp.maximum(i - pad, 0) + 1.0)
 
 
+def _cumsum_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Inclusive prefix sum along ``axis`` via log-shift adds (zero-fill
+    ``_shift2`` shifts): ceil(log2(n)) shifted adds on the VPU, no MXU."""
+    n = x.shape[axis]
+    sh = 1
+    while sh < n:
+        x = x + (_shift2(x, sh, 0) if axis == 0 else _shift2(x, 0, sh))
+        sh *= 2
+    return x
+
+
+def _box_from_cumsum(cs: jax.Array, axis: int, pad: int) -> jax.Array:
+    """Clipped-window box sum from an inclusive prefix sum:
+    box[i] = cs[min(i+pad, n-1)] - (cs[i-pad-1] if i-pad-1 >= 0 else 0),
+    exactly the band-matrix window (clipped to [0, n))."""
+    n = cs.shape[axis]
+    i = jax.lax.broadcasted_iota(jnp.int32, cs.shape, axis)
+    hi = _shift2(cs, -pad, 0) if axis == 0 else _shift2(cs, 0, -pad)
+    # The zero-filled tail (i + pad >= n) must read cs[n-1] instead.
+    last = (cs[n - 1:n, :] if axis == 0 else cs[:, n - 1:n])
+    hi = jnp.where(i + pad > n - 1, last, hi)
+    lo = _shift2(cs, pad + 1, 0) if axis == 0 else _shift2(cs, 0, pad + 1)
+    return hi - lo
+
+
+def _cfar_threshold_cumsum(p1, *, train: int, guard: int, offset_db: float,
+                           threshold_db: float, C: int, S: int):
+    """CA-CFAR threshold map via separable prefix-sum differencing: the
+    band matmuls of ``_cfar_threshold`` cost ~33M effective MAC/frame at
+    bf16x3 (3 MXU passes each); the same clipped box sums are
+    O((C+S) log) zero-fill shifts + adds on the VPU, in EXACT f32 --
+    numerically closer to the XLA ``reduce_window`` reference than the
+    bf16x3 matmul form (cancellation bound: prefix magnitude / box
+    magnitude ~ S/width ulps, ~2e-6 relative here)."""
+    if train <= 0:
+        return jnp.full((C, S), jnp.float32(threshold_db))
+    train_w = 2 * train + 2 * guard + 1
+    guard_w = 2 * guard + 1
+
+    cnt_d = _window_counts((C, 1), 0, train_w // 2)         # [C, 1]
+    cnt_s = _window_counts((1, S), 1, train_w // 2)         # [1, S]
+    cs_d = _cumsum_axis(p1, 0)
+    sum_d = _box_from_cumsum(cs_d, 0, train_w // 2)         # rows
+    sum_t = _box_from_cumsum(_cumsum_axis(sum_d, 1), 1, train_w // 2)
+    noise = sum_t / (cnt_d * cnt_s)
+    if guard > 0:
+        cnt_dg = _window_counts((C, 1), 0, guard_w // 2)
+        cnt_sg = _window_counts((1, S), 1, guard_w // 2)
+        sum_dg = _box_from_cumsum(cs_d, 0, guard_w // 2)
+        g = (_box_from_cumsum(_cumsum_axis(sum_dg, 1), 1, guard_w // 2)
+             / (cnt_dg * cnt_sg))
+        n_train = float(train_w * train_w)
+        n_guard = float(guard_w * guard_w)
+        noise = (noise * n_train - g * n_guard) / (n_train - n_guard)
+    noise_db = _log10_db(jnp.maximum(noise, 1e-12))
+    return jnp.maximum(noise_db + jnp.float32(offset_db),
+                       jnp.float32(threshold_db))
+
+
 def _cfar_threshold(p1, bs_t, bd_t, bs_g, bd_g, *, train: int, guard: int,
                     offset_db: float, threshold_db: float, C: int, S: int):
     """CA-CFAR threshold map [C, S] via banded-matmul box means; replica
@@ -135,7 +194,8 @@ def _frontend_body(eatr, eati, efr, efi, seed,
                    synth_precision: str, z_precision: str,
                    doppler_precision: str, doppler_layout: str,
                    noise_impl: str, noise_domain: str,
-                   noise_taps: tuple, dc_removal: bool):
+                   noise_taps: tuple, dc_removal: bool,
+                   cfar_impl: str = "matmul"):
     """Shared kernel body: factors (already VMEM values) -> Z + power +
     CFAR score map.  Called by the dense- and split-factor kernels."""
     if has_clutter:
@@ -210,10 +270,15 @@ def _frontend_body(eatr, eati, efr, efi, seed,
     # ---- detection mask: CFAR + local max + gates -----------------------
     p1 = p + jnp.float32(1e-12)
     pd = _log10_db(p1)
-    thresh = _cfar_threshold(p1, bs_t_ref[:], bd_t_ref[:], bs_g_ref[:],
-                             bd_g_ref[:], train=train, guard=guard,
-                             offset_db=offset_db, threshold_db=threshold_db,
-                             C=C, S=S)
+    if cfar_impl == "cumsum":
+        thresh = _cfar_threshold_cumsum(
+            p1, train=train, guard=guard, offset_db=offset_db,
+            threshold_db=threshold_db, C=C, S=S)
+    else:
+        thresh = _cfar_threshold(p1, bs_t_ref[:], bd_t_ref[:], bs_g_ref[:],
+                                 bd_g_ref[:], train=train, guard=guard,
+                                 offset_db=offset_db,
+                                 threshold_db=threshold_db, C=C, S=S)
     r = neighborhood // 2
     is_peak = jnp.full(p1.shape, True)
     for dy in range(-r, r + 1):
@@ -423,7 +488,7 @@ def _finalize(zr, zi, p_ds, score_ds, K: int, A: int, C: int,
                      "max_range_bin", "synth_precision", "precision_name",
                      "doppler_precision", "doppler_layout", "sig_precision",
                      "noise_impl", "topk_mode", "noise_domain",
-                     "noise_taps"))
+                     "noise_taps", "cfar_impl"))
 def scatterer_frontend(
         e_ac: jax.Array, e_fast: jax.Array, seeds: jax.Array,
         mix: jax.Array, C: int, sigma: float, K: int,
@@ -436,7 +501,7 @@ def scatterer_frontend(
         doppler_precision: str = "high", doppler_layout: str = "loop",
         sig_precision: str = "high", noise_impl: str = "box_muller",
         topk_mode: str = "sort", noise_domain: str = "time",
-        noise_taps: tuple = (),
+        noise_taps: tuple = (), cfar_impl: str = "matmul",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The one-pass front end over a frame batch.
 
@@ -515,7 +580,7 @@ def scatterer_frontend(
             doppler_precision=doppler_precision,
             doppler_layout=doppler_layout, noise_impl=noise_impl,
             noise_domain=noise_domain, noise_taps=noise_taps,
-            dc_removal=dc_removal),
+            dc_removal=dc_removal, cfar_impl=cfar_impl),
         grid=(F,),
         in_specs=in_specs,
         out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),
@@ -556,7 +621,7 @@ def scatterer_frontend(
                      "max_range_bin", "synth_precision",
                      "doppler_precision", "doppler_layout", "sig_precision",
                      "noise_impl", "topk_mode", "noise_domain",
-                     "noise_taps", "echo_upper"))
+                     "noise_taps", "echo_upper", "cfar_impl"))
 def scatterer_frontend_split(
         ant: jax.Array, dopp: jax.Array, coarse: jax.Array,
         fine: jax.Array, tau: jax.Array, t: jax.Array, seeds: jax.Array,
@@ -571,6 +636,7 @@ def scatterer_frontend_split(
         sig_precision: str = "high", noise_impl: str = "box_muller",
         topk_mode: str = "sort", noise_domain: str = "time",
         noise_taps: tuple = (), echo_upper: Optional[float] = None,
+        cfar_impl: str = "matmul",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """``scatterer_frontend`` fed SPLIT synthesis factors
     (``signal/synth.py:synthesis_factors_split``): the kernel recomposes
@@ -643,7 +709,7 @@ def scatterer_frontend_split(
             doppler_precision=doppler_precision,
             doppler_layout=doppler_layout, noise_impl=noise_impl,
             noise_domain=noise_domain, noise_taps=noise_taps,
-            dc_removal=dc_removal),
+            dc_removal=dc_removal, cfar_impl=cfar_impl),
         grid=(F,),
         in_specs=in_specs,
         out_specs=(fr((S, AC)), fr((S, AC)), fr((C, S)), fr((C, S))),

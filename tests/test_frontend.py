@@ -446,3 +446,30 @@ def test_frontend_split_matches_dense_on_chip():
                                  C, S, **prec)
     _assert_split_matches_dense(outs_d, outs_s, power_rtol=2e-3,
                                 sig_atol=0.05)
+
+
+@interpret_only
+def test_cfar_cumsum_matches_matmul_interpret():
+    """cfar_impl="cumsum" (exact-f32 prefix-sum differencing) must
+    reproduce the banded-matmul CFAR's detections.  Chip-measured a WASH
+    (docs/BENCHMARKS.md r05d: even train=0 ablates <~40 us/64f -- Mosaic
+    overlaps the box-sum matmuls with the kernel's VPU work), kept as the
+    numerically-closer-to-XLA option."""
+    cfg, batches, e_ac, e_fast, mix, seeds, sigma, C, S = _setup()
+    prec = dict(synth_precision="highest", precision_name="highest",
+                doppler_precision="highest", sig_precision="highest")
+    with pltpu.force_tpu_interpret_mode():
+        o1 = _run_frontend(cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+                           cfar_impl="matmul", **prec)
+        o2 = _run_frontend(cfg, e_ac, e_fast, mix, seeds, sigma, C, S,
+                           cfar_impl="cumsum", **prec)
+    p1, rb1, db1, v1, _ = map(np.asarray, o1)
+    p2, rb2, db2, v2, _ = map(np.asarray, o2)
+    assert np.array_equal(p1, p2)           # CFAR only affects the mask
+    val1, val2 = v1 > -np.inf, v2 > -np.inf
+    F = p1.shape[0]
+    set1 = {(f, int(r), int(d)) for f in range(F)
+            for r, d, ok in zip(rb1[f], db1[f], val1[f]) if ok}
+    set2 = {(f, int(r), int(d)) for f in range(F)
+            for r, d, ok in zip(rb2[f], db2[f], val2[f]) if ok}
+    assert set1 and set1 == set2
