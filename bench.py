@@ -435,6 +435,15 @@ def main():
         "stage_us_per_64f": stage_us,
         "chip_tests_ok": chip_tests_ok,
         "chip_tests_passed": chip_tests_passed,
+        # Operating-point provenance: the front-end knobs this measurement
+        # ran with (so each round's BENCH file records WHAT was measured).
+        "frontend_knobs": {
+            "noise_domain": cfg.noise_domain,
+            "noise_impl": cfg.noise_impl,
+            "frontend_topk": cfg.frontend_topk,
+            "frontend_factors": cfg.frontend_factors,
+            "synth_fidelity": cfg.synth_fidelity,
+        },
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -369,7 +369,7 @@ def _band(n: int, half: int) -> jax.Array:
 
 
 def topk_two_stage(score: jax.Array, K: int,
-                   seg: int = 128) -> Tuple[jax.Array, jax.Array]:
+                   seg: int = 512) -> Tuple[jax.Array, jax.Array]:
     """Exact top-K over the last axis via segmented selection.
 
     ``lax.top_k`` on [F, 12800] lowers to a full sort -- traced at
@@ -381,6 +381,12 @@ def topk_two_stage(score: jax.Array, K: int,
     tie order: within a segment ties keep index order, and across
     segments a stage-2 tie resolves to the smaller (segment, rank) pair,
     i.e. the smaller global index.
+
+    ``seg`` default from a chip sweep at the production shape
+    ([64, 12800], K = 64): seg 128/256/512/800 chained at
+    498/390/286/348 us vs lax.top_k 374 us -- seg = 128 made stage 1 a
+    near-full sort of every segment (K = seg/2) and stage 2 a 6,400-wide
+    sort; 512 balances the two (25 segments, 1,600-wide stage 2).
 
     Returns (values [F, K], flat indices [F, K])."""
     if K > seg:

@@ -261,9 +261,10 @@ def test_topk_two_stage_equals_lax_topk():
         x += rng.standard_normal((3, N)).astype(np.float32) * (x > -1e29)
         K = int(rng.choice([5, 50, 64]))
         v1, i1 = jax.lax.top_k(jnp.asarray(x), K)
-        v2, i2 = fe.topk_two_stage(jnp.asarray(x), K)
-        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        for seg in (128, 512, 777):      # incl. the non-divisor pad path
+            v2, i2 = fe.topk_two_stage(jnp.asarray(x), K, seg=seg)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
 @chip_only
