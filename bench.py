@@ -399,7 +399,7 @@ def main():
     music_ok = music_rmse <= 0.15               # r05 0.108
 
     scan_ok = fps_scan >= 3800.0                # r04 4,155
-    chunked_ok = fps_chunked >= 20000.0         # r05 26,634-31,717 @ w=16
+    chunked_ok = fps_chunked >= 24000.0         # r05 26.6-33.5k @ w=16
     rig_fps, rig_rmse, rig_ok = rig_check(cfg)  # r05 10,109 fps / 0.039 m
     sane = (bool(ok[1:].mean() > 0.9) and pos_err_bound_ok and pos_rmse_ok
             and adversarial_ok and music_ok and scan_ok and chunked_ok
