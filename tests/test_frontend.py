@@ -474,3 +474,30 @@ def test_cfar_cumsum_matches_matmul_interpret():
     set2 = {(f, int(r), int(d)) for f in range(F)
             for r, d, ok in zip(rb2[f], db2[f], val2[f]) if ok}
     assert set1 and set1 == set2
+
+
+@interpret_only
+def test_frontend_split_clutter_gate_interpret():
+    """The split-factor wrapper's clutter input (used by the streaming
+    scan step, pipeline/frame.py:230) gates detections exactly like the
+    dense wrapper's: a clutter map equal to the power map suppresses
+    everything; an all-zero map is a no-op."""
+    cfg, e_ac, e_fast, sp_f, t, eu, mix, seeds, sigma, C, S = \
+        _split_setup("tpu")
+    prec = dict(synth_precision="highest", doppler_precision="highest",
+                sig_precision="highest")
+    with pltpu.force_tpu_interpret_mode():
+        p, _, _, vals_free0, _ = _run_frontend_split(
+            cfg, sp_f, t, eu, mix, seeds, sigma, C, S, **prec)
+        _, _, _, vals, _ = _run_frontend_split(
+            cfg, sp_f, t, eu, mix, seeds, sigma, C, S,
+            clutter=p, clutter_offset_db=cfg.detection.clutter_offset_db,
+            **prec)
+        _, _, _, vals_free, _ = _run_frontend_split(
+            cfg, sp_f, t, eu, mix, seeds, sigma, C, S,
+            clutter=jnp.zeros_like(p),
+            clutter_offset_db=cfg.detection.clutter_offset_db, **prec)
+    assert not np.isfinite(np.asarray(vals)).any()
+    assert np.isfinite(np.asarray(vals_free)).any()
+    np.testing.assert_array_equal(np.asarray(vals_free),
+                                  np.asarray(vals_free0))
