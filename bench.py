@@ -38,7 +38,7 @@ drift passing unremarked):
 - ``scan_ok``: sequential scan-driver floor 3,800 frames/s (r04: 4,155);
 - ``chunked_ok``: the chunked sequential-semantics driver (batched phase A
   per window + Jacobi prior; the throughput path for scan-semantics
-  workloads) floor 20,000 frames/s (r05: 26,634-31,717 @ window=16);
+  workloads) floor 24,000 frames/s (r05: 26,634-33,463 @ window=16);
 - ``rig_ok``: the batched 4-sensor mounted-rig driver (the path real
   RadarScenes data auto-routes to) must hold >= 7,000 rig-frames/s and
   <= 0.10 m position RMSE on its bench scene (r05 measured: 10,109 fps
