@@ -274,15 +274,24 @@ def rig_check(cfg):
             scene=SceneConfig(num_points=96,
                               max_scatterers=cfg.max_scatterers), rig=rig4)
 
-    f1, f2 = 32, 160
-    b1, gt1 = rig_scene(f1)
+    # Wide differenced window, same rationale as the headline (r05f): the
+    # old 128-frame window was ~13 ms at these speeds and read 10.4-15.8k
+    # at fixed code under the +-2-4 ms dispatch-floor drift; 448 frames
+    # is ~45 ms (wide-window read: 9.4k).  The accuracy gate stays on the
+    # 32-frame scene it was calibrated on (r05: 0.038 m; open-loop drift
+    # grows with path length, 0.174 m by frame 64).
+    f0, f1, f2 = 32, 64, 512
+    b0, gt0 = rig_scene(f0)
+    b1, _ = rig_scene(f1)
     b2, _ = rig_scene(f2)
     key = jax.random.key(0, impl="rbg")
-    out1, t1, _, t2 = time_pair(
+    out0 = rigmod.process_sequence_rig_batched(b0, key, cfg, rig4)
+    force(out0)
+    _, t1, _, t2 = time_pair(
         lambda: rigmod.process_sequence_rig_batched(b1, key, cfg, rig4),
         lambda: rigmod.process_sequence_rig_batched(b2, key, cfg, rig4))
     fps = (f2 - f1) / max(t2 - t1, 1e-9)
-    m = planar_pose_errors(np.asarray(out1.pose), np.asarray(gt1["poses"]))
+    m = planar_pose_errors(np.asarray(out0.pose), np.asarray(gt0["poses"]))
     rmse = round(float(m["position_rmse"]), 3)
     return round(fps, 1), rmse, bool(fps >= 7000.0 and rmse <= 0.10)
 
